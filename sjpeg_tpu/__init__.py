@@ -1,0 +1,42 @@
+"""sjpeg_tpu: a TPU-native baseline-JPEG encode engine.
+
+A from-scratch JAX/XLA/Pallas implementation of the full capability surface
+of webmproject/sjpeg (see SURVEY.md): RGB->YUV conversion (4:4:4 / 4:2:0 /
+4:0:0 / sharp 4:2:0), fixed-point 8x8 forward DCT, bias and trellis
+quantization, adaptive quant-matrix optimization, two-pass optimized Huffman
+coding, riskiness-based automatic yuv_mode selection, recompression tools,
+target-size/PSNR search, and full metadata emission — producing valid
+baseline JPEG bitstreams, with the hot path running batched on TPU.
+"""
+
+from .constants import (SJPEG_TPU_VERSION, YUV_400, YUV_420, YUV_444,
+                        YUV_AUTO, YUV_SHARP)
+from .params import EncoderParam, SearchHook, TARGET_NONE, TARGET_PSNR, TARGET_SIZE
+from .host_encoder import encode_gray as host_encode_gray
+from .host_encoder import encode_rgb as host_encode_rgb
+from .host_encoder import encode_yuv as host_encode_yuv
+from .tools import dimensions, estimate_quality, find_quantizer, quant_matrix
+
+
+def version() -> str:
+    return ".".join(map(str, SJPEG_TPU_VERSION))
+
+
+def encode(rgb, param=None, backend: str = "auto") -> bytes:
+    """Encode an RGB uint8 image to baseline JPEG.
+
+    backend: 'tpu' (JAX device path), 'host' (NumPy), or 'auto'.
+    """
+    if backend == "host":
+        return host_encode_rgb(rgb, param)
+    from .engine import encode_rgb as device_encode_rgb
+    return device_encode_rgb(rgb, param)
+
+
+__all__ = [
+    "EncoderParam", "SearchHook", "encode", "version",
+    "host_encode_rgb", "host_encode_gray", "host_encode_yuv",
+    "dimensions", "estimate_quality", "find_quantizer", "quant_matrix",
+    "YUV_AUTO", "YUV_420", "YUV_SHARP", "YUV_444", "YUV_400",
+    "TARGET_NONE", "TARGET_SIZE", "TARGET_PSNR",
+]
