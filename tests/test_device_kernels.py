@@ -1,0 +1,174 @@
+"""Device kernels vs the NumPy spec oracle, bit-for-bit (CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sjpeg_tpu import constants as C
+from sjpeg_tpu import spec
+from sjpeg_tpu.ops import colorspace, fdct, pack, quantize, vlc
+from sjpeg_tpu.params import EncoderParam
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.RandomState(123)
+
+
+def test_fdct_matches_oracle(rng):
+    blocks = rng.randint(-128, 128, (256, 64)).astype(np.int32)
+    want = spec.fdct_blocks(blocks)
+    got = np.asarray(fdct.fdct_blocks(jnp.asarray(blocks)))
+    np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+def test_color_420_matches_oracle(rng):
+    rgb = rng.randint(0, 256, (64, 48, 3), dtype=np.uint8)
+    y_w, u_w, v_w = spec.rgb_to_yuv420(rgb)
+    y_g, u_g, v_g = colorspace.rgb_to_yuv420_planes(jnp.asarray(rgb))
+    np.testing.assert_array_equal(np.asarray(y_g), y_w)
+    np.testing.assert_array_equal(np.asarray(u_g), u_w)
+    np.testing.assert_array_equal(np.asarray(v_g), v_w)
+
+
+def test_color_444_matches_oracle(rng):
+    rgb = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    want = spec.rgb_to_yuv444(rgb)
+    got = colorspace.rgb_to_yuv444_planes(jnp.asarray(rgb))
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g), w)
+
+
+def test_quantize_matches_oracle(rng):
+    coeffs = rng.randint(-30000, 30000, (128, 64)).astype(np.int32)
+    qm = spec.finalize_quant_matrix(
+        np.full(64, 16, np.uint8), np.ones(64, np.uint8), C.DEFAULT_BIAS)
+    want = spec.quantize_blocks(coeffs, qm)
+    got = quantize.quantize_blocks(
+        jnp.asarray(coeffs),
+        jnp.asarray(qm["iquant"].astype(np.int32)),
+        jnp.asarray(qm["bias"].astype(np.int32)))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_quantize_q1_special_case(rng):
+    """quant == 1 uses the saturated multiplier path."""
+    coeffs = rng.randint(-32768, 32767, (64, 64)).astype(np.int32)
+    qm = spec.finalize_quant_matrix(
+        np.ones(64, np.uint8), np.ones(64, np.uint8), C.DEFAULT_BIAS)
+    want = spec.quantize_blocks(coeffs, qm)
+    got = quantize.quantize_blocks(
+        jnp.asarray(coeffs),
+        jnp.asarray(qm["iquant"].astype(np.int32)),
+        jnp.asarray(qm["bias"].astype(np.int32)))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_run_levels_and_dc(rng):
+    q = rng.randint(-5, 6, (64, 64)).astype(np.int32)
+    q[rng.rand(64, 64) < 0.8] = 0
+    want = spec.block_run_levels(q)
+    got = jax.tree.map(np.asarray, vlc.run_levels(jnp.asarray(q)))
+    np.testing.assert_array_equal(got["nz"], want["nz"])
+    np.testing.assert_array_equal(got["run"][got["nz"]],
+                                  want["run"][want["nz"]])
+    np.testing.assert_array_equal(got["size"][got["nz"]],
+                                  want["size"][want["nz"]])
+    np.testing.assert_array_equal(got["code"][got["nz"]],
+                                  want["code"][want["nz"]])
+    np.testing.assert_array_equal(got["last"], want["last"])
+    dc_w = spec.dc_diff_codes(q[:, 0])
+    dc_g = np.asarray(vlc.dc_diff_codes(jnp.asarray(q[:, 0])))
+    np.testing.assert_array_equal(dc_g.astype(np.uint16), dc_w)
+
+
+def test_entropy_stats_match(rng):
+    q = rng.randint(-40, 40, (96, 64)).astype(np.int32)
+    q[rng.rand(96, 64) < 0.85] = 0
+    rl_w = spec.block_run_levels(q)
+    dc_w = spec.dc_diff_codes(q[:, 0])
+    fdc_w, fac_w = spec.entropy_stats(rl_w, dc_w)
+    rl_g = vlc.run_levels(jnp.asarray(q))
+    dc_g = vlc.dc_diff_codes(jnp.asarray(q[:, 0]))
+    fdc_g, fac_g = vlc.entropy_stats(rl_g, dc_g)
+    np.testing.assert_array_equal(np.asarray(fdc_g), fdc_w)
+    np.testing.assert_array_equal(np.asarray(fac_g), fac_w)
+
+
+def test_store_histo_matches(rng):
+    coeffs = rng.randint(-1000, 1000, (200, 64)).astype(np.int32)
+    want = spec.store_histo(coeffs)
+    got = np.asarray(quantize.store_histo(jnp.asarray(coeffs)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pack_roundtrip_vs_bitwriter(rng):
+    """Pack random entry streams and compare against serial BitWriter."""
+    from sjpeg_tpu.bitio import BitWriter
+    N, E = 17, 23
+    lens = rng.randint(0, 28, (N, E)).astype(np.int32)
+    lens[rng.rand(N, E) < 0.3] = 0
+    vals = np.zeros((N, E), dtype=np.uint64)
+    for n in range(N):
+        for e in range(E):
+            if lens[n, e]:
+                vals[n, e] = rng.randint(0, 1 << int(lens[n, e]))
+    words, bl = pack.pack_block_entries(
+        jnp.asarray(vals.astype(np.uint32)), jnp.asarray(lens))
+    stream, total = pack.concat_block_streams(words, bl)
+    total = int(total)
+
+    w = BitWriter()
+    for n in range(N):
+        for e in range(E):
+            if lens[n, e]:
+                w.put_bits(int(vals[n, e]), int(lens[n, e]))
+    # compare bit-level prefix
+    got_words = np.asarray(stream[: (total + 31) // 32])
+    got_bytes = got_words.astype(">u4").view(np.uint8)[: (total + 7) // 8]
+    w_pad = w  # replicate padding
+    w_pad.flush()
+    want = np.frombuffer(w.get_bytes(), dtype=np.uint8)
+    # BitWriter stuffs 0xFF; undo for comparison
+    unstuffed = []
+    i = 0
+    while i < len(want):
+        unstuffed.append(want[i])
+        if want[i] == 0xFF:
+            i += 1   # skip the stuffed 0x00
+        i += 1
+    want = np.array(unstuffed, dtype=np.uint8)
+    # mask the padding bits of the final byte
+    nfull = total // 8
+    np.testing.assert_array_equal(got_bytes[:nfull], want[:nfull])
+    rem = total % 8
+    if rem:
+        m = 0xFF << (8 - rem) & 0xFF
+        assert (int(got_bytes[nfull]) & m) == (int(want[nfull]) & m)
+
+
+def test_average_extra_luma_matches(rng):
+    for (w, h) in [(100, 100), (97, 65), (40, 17), (24, 24)]:
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        layout_w = (w + 15) // 16
+        layout_h = (h + 15) // 16
+        img = spec.pad_edge(rgb, 16, 16)
+        y, _, _ = spec.rgb_to_yuv420(img)
+        yb = spec.blockize_420_luma(y)
+        want = spec.average_extra_luma(yb, layout_w, layout_h, w, h)
+        got = np.asarray(colorspace.average_extra_luma(
+            jnp.asarray(yb), layout_w, layout_h, w, h))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_device_encode_matches_oracle_end_to_end(rng):
+    from sjpeg_tpu import host_encode_rgb
+    from sjpeg_tpu.engine import encode_rgb as dev_encode
+    rgb = rng.randint(0, 256, (40, 56, 3), dtype=np.uint8)
+    for mode in (C.YUV_420, C.YUV_444, C.YUV_400):
+        for hc, aq in [(False, False), (True, True)]:
+            p = EncoderParam(quality=80, yuv_mode=mode, huffman_compress=hc,
+                             adaptive_quantization=aq)
+            assert dev_encode(rgb, p) == host_encode_rgb(rgb, p)
