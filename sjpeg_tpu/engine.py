@@ -115,6 +115,135 @@ def _stage_pack(rls, dcs, dc_luts, ac_luts, nb_blocks):
     return pack.concat_block_streams(words, bit_lens)
 
 
+def _encode_core_body(rgb, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
+                      width: int, height: int, nb_blocks, n_images: int = 1,
+                      bucket=None):
+    """Fused encode body: RGB (single image or image-major batch) ->
+    (stream words, total bits).  Batching is pure data parallelism on the
+    flat block axis — no vmap; DC chains and bit offsets reset per image by
+    reshaping that axis.
+    """
+    blocks = colorspace.rgb_to_blocks(rgb, yuv_mode, width, height)
+    coeffs = [fdct.fdct_blocks(b) for b in blocks]
+    comp_vals, comp_lens = [], []
+    for c, coef in enumerate(coeffs):
+        g = 0 if c == 0 else 1
+        qb = quantize.quantize_blocks(coef, iquant[g], ibias[g])
+        rl = vlc.run_levels(qb)
+        dc = vlc.dc_diff_codes(qb[:, 0], n_images)
+        v, l = vlc.block_entries(rl, dc, dc_luts[g], ac_luts[g])
+        comp_vals.append(v)
+        comp_lens.append(l)
+    vals, lens = pack.interleave_components(comp_vals, comp_lens,
+                                            list(nb_blocks))
+    words, bit_lens = pack.pack_block_entries(vals, lens)
+    if bucket is not None:
+        return pack.concat_block_streams_batched(words, bit_lens, n_images,
+                                                 bucket)
+    return pack.concat_block_streams(words, bit_lens)
+
+
+@functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
+                                             "nb_blocks"))
+def encode_core(rgb, iquant, ibias, dc_luts, ac_luts, *, yuv_mode: int,
+                width: int, height: int, nb_blocks):
+    """Fused single-dispatch encode: RGB -> (stream words, total bits).
+
+    The fixed-table path (no adaptive quant, no two-pass Huffman) as one XLA
+    program: layout, color conversion, fDCT, quantization, VLC and bit
+    packing fuse into a single device launch.  This is the flagship hot
+    path benchmarked against the reference encoder.
+    """
+    return _encode_core_body(rgb, iquant, ibias, dc_luts, ac_luts, yuv_mode,
+                             width, height, nb_blocks)
+
+
+@functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
+                                             "nb_blocks", "bucket"))
+def encode_batch_core(rgbs, iquant, ibias, dc_luts, ac_luts, *,
+                      yuv_mode: int, width: int, height: int, nb_blocks,
+                      bucket: int):
+    """Batched fused encode: [B, H, W, 3] -> ([B, bucket] words, [B] bits).
+
+    One dispatch and one device->host fetch for the whole batch; `bucket`
+    caps the per-image stream words fetched (overflowing images — rare, the
+    caller sizes the bucket from the expected bits/pixel — are detected via
+    the exact totals and refetched through the unbatched path).
+    """
+    return _encode_core_body(rgbs, iquant, ibias, dc_luts, ac_luts,
+                             yuv_mode, width, height, nb_blocks,
+                             n_images=rgbs.shape[0], bucket=bucket)
+
+
+def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
+                 bits_per_pixel_budget: float = 4.0):
+    """Encode a uint8 batch [B, H, W, 3] on the fixed-table path.
+
+    Returns a list of complete JPEG byte strings.  The whole batch is one
+    device program and one bulk fetch; use this (not per-image calls) when
+    throughput matters.
+    """
+    param = param or EncoderParam()
+    flags = method_flags(param.method)
+    assert not flags["use_adaptive_quant"] and not flags["optimize_size"], \
+        "encode_batch currently supports the fixed-table path"
+    b, h, w = rgbs.shape[:3]
+    yuv_mode = param.yuv_mode
+    if yuv_mode in (C.YUV_AUTO, C.YUV_SHARP):
+        yuv_mode = C.YUV_420
+    layout = pipeline.component_layout(yuv_mode, w, h)
+    qmats = param.resolved_quant_matrices()
+    min_qmats = param.resolved_min_quant_matrices()
+    qms = [spec.finalize_quant_matrix(qmats[i], min_qmats[i],
+                                      param.quantization_bias)
+           for i in range(2)]
+    iq, ib = _quant_device_arrays(qms)
+    dc_luts, ac_luts = _device_luts(k3_default_tables())
+    tables = k3_default_tables()
+
+    n_blocks = (layout.mb_w * layout.mb_h
+                * sum(layout.nb_blocks))
+    max_words = n_blocks * pack.WORDS_PER_BLOCK
+    bucket = int(min(max_words,
+                     max(4096, w * h * bits_per_pixel_budget / 32)))
+
+    words, totals = encode_batch_core(
+        jnp.asarray(rgbs), iq, ib, dc_luts, ac_luts, yuv_mode=yuv_mode,
+        width=w, height=h, nb_blocks=tuple(layout.nb_blocks), bucket=bucket)
+    totals_np = np.asarray(totals)
+    words_np = np.asarray(words)
+
+    out = []
+    for i in range(b):
+        total_bits = int(totals_np[i])
+        if total_bits > bucket * 32:      # bucket overflow: slow refetch
+            wi, ti = encode_core(jnp.asarray(rgbs[i]), iq, ib, dc_luts,
+                                 ac_luts, yuv_mode=yuv_mode, width=w,
+                                 height=h,
+                                 nb_blocks=tuple(layout.nb_blocks))
+            scan = _finalize_scan_bytes(wi, int(ti))
+        else:
+            scan = _finalize_scan_bytes(words_np[i], total_bits)
+        out.append(_assemble_jpeg(layout, param, qms, tables, scan))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _slice_words(words, n: int):
+    return jax.lax.slice(words, (0,), (n,))
+
+
+def fetch_stream(words, total_bits: int) -> np.ndarray:
+    """Fetch only the meaningful prefix of the device stream (bucketed to
+    power-of-two lengths so transfer slicing doesn't recompile per size)."""
+    n_words = (total_bits + 31) // 32
+    if n_words >= words.shape[0]:
+        return np.asarray(words)[:n_words]
+    bucket = 1 << max(10, (n_words - 1).bit_length() if n_words > 1 else 1)
+    bucket = min(bucket, words.shape[0])
+    return np.asarray(_slice_words(words, bucket))[:n_words]
+
+
 @jax.jit
 def _stage_size_bits(rls, dcs, dc_luts, ac_luts):
     """Total entropy bit count without packing (for size-target search)."""
@@ -141,6 +270,11 @@ def _stage_quant_error(coeffs, iquant, ibias, quant):
 # Host-side assembly
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=1)
+def _default_luts_cached():
+    return _device_luts(k3_default_tables())
+
+
 def _device_luts(tables):
     """HuffmanTable[4] -> ([2, 16], [2, 256]) uint32 device-ready LUTs."""
     dc = np.zeros((2, 16), dtype=np.uint32)
@@ -161,8 +295,10 @@ def _quant_device_arrays(qms):
 
 def _finalize_scan_bytes(words, total_bits: int) -> bytes:
     """Device word stream -> stuffed entropy-coded byte segment."""
-    n_words = (total_bits + 31) // 32
-    w = np.asarray(words[:n_words])
+    if isinstance(words, np.ndarray):
+        w = words[: (total_bits + 31) // 32]
+    else:
+        w = fetch_stream(words, total_bits)
     raw = w.astype(">u4").view(np.uint8)
     n_bytes = (total_bits + 7) // 8
     raw = np.array(raw[:n_bytes])
@@ -215,9 +351,11 @@ def _encode_blocks_device(get_coeffs, layout, param: EncoderParam) -> bytes:
     dc_luts, ac_luts = _device_luts(tables)
     words, total = _stage_pack(rls, dcs, dc_luts, ac_luts,
                                nb_blocks=tuple(layout.nb_blocks))
-    total_bits = int(total)
-    scan = _finalize_scan_bytes(words, total_bits)
+    scan = _finalize_scan_bytes(words, int(total))
+    return _assemble_jpeg(layout, param, qms, tables, scan)
 
+
+def _assemble_jpeg(layout, param, qms, tables, scan: bytes) -> bytes:
     out = bytearray()
     out += headers.write_app0()
     out += headers.write_app_markers(param.app_markers)
@@ -254,6 +392,23 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
         return encode_yuv(y, u, v, is_420=True, param=param)
     layout = pipeline.component_layout(yuv_mode, w, h)
     dev_rgb = jnp.asarray(rgb)
+
+    flags = method_flags(param.method)
+    if not flags["use_adaptive_quant"] and not flags["optimize_size"]:
+        # fixed-table fast path: one fused device dispatch
+        qmats = param.resolved_quant_matrices()
+        min_qmats = param.resolved_min_quant_matrices()
+        qms = [spec.finalize_quant_matrix(qmats[i], min_qmats[i],
+                                          param.quantization_bias)
+               for i in range(2)]
+        tables = k3_default_tables()
+        iq, ib = _quant_device_arrays(qms)
+        dc_luts, ac_luts = _default_luts_cached()
+        words, total = encode_core(dev_rgb, iq, ib, dc_luts, ac_luts,
+                                   yuv_mode=yuv_mode, width=w, height=h,
+                                   nb_blocks=tuple(layout.nb_blocks))
+        scan = _finalize_scan_bytes(words, int(total))
+        return _assemble_jpeg(layout, param, qms, tables, scan)
 
     def get_coeffs(with_histo):
         return _stage_coeffs(dev_rgb, yuv_mode=yuv_mode, width=w, height=h,

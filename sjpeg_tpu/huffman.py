@@ -50,16 +50,19 @@ def build_code_lut(table: HuffmanTable, lut_size: int = 256) -> np.ndarray:
     symbols stay 0.  Codes are assigned canonically: counting up within a bit
     length, shifting left by one when the length increases.
     """
+    bits = np.asarray(table.bits, dtype=np.int64)[:16]
+    nb_syms = int(bits.sum())
+    syms = np.asarray(table.syms, dtype=np.int64)[:nb_syms]
+    # canonical codes: within a length count up; on length increase shift.
+    lengths = np.repeat(np.arange(1, 17), bits)              # [nb_syms]
+    # first code of each length: c(l) = (c(l-1) + bits[l-1]) << 1
+    first = np.zeros(17, dtype=np.int64)   # first[l] = first code of length l
+    for l in range(1, 16):
+        first[l + 1] = (first[l] + bits[l - 1]) << 1
+    rank = np.arange(nb_syms) - np.repeat(np.cumsum(bits) - bits, bits)
+    codes = first[lengths] + rank
     lut = np.zeros(lut_size, dtype=np.uint32)
-    code = 0
-    pos = 0
-    for nb_bits in range(1, 17):
-        for _ in range(int(table.bits[nb_bits - 1])):
-            sym = int(table.syms[pos])
-            lut[sym] = np.uint32((code << 16) | nb_bits)
-            pos += 1
-            code += 1
-        code <<= 1
+    lut[syms] = ((codes << 16) | lengths).astype(np.uint32)
     return lut
 
 

@@ -88,6 +88,41 @@ def concat_block_streams(words, bit_lens):
     return out[:-2], total
 
 
+def concat_block_streams_batched(words, bit_lens, n_images: int,
+                                 bucket: int):
+    """Per-image stream compaction for a batched encode.
+
+    `words`: [N, W] with N = n_images * blocks_per_image (image-major);
+    `bit_lens`: [N].  Each image's blocks merge into its own `bucket`-word
+    slot; words past the bucket are dropped (detected via the exact totals).
+    Returns ([n_images, bucket] uint32, [n_images] int32 total bits).
+    """
+    N, W = words.shape
+    per_img = N // n_images
+    bl = bit_lens.reshape(n_images, per_img)
+    offs = jnp.cumsum(bl, axis=1) - bl               # in-image bit offsets
+    totals = offs[:, -1] + bl[:, -1]
+
+    offs_flat = offs.reshape(-1)
+    word_bit = offs_flat[:, None] + 32 * jnp.arange(W, dtype=jnp.int32)[None]
+    s = (offs_flat & 31)[:, None]
+    q = word_bit >> 5                                # in-image word index
+    su = s.astype(jnp.uint32)
+    hi = words >> su
+    lo = jnp.where(s > 0,
+                   words << jnp.clip(32 - s, 0, 31).astype(jnp.uint32),
+                   jnp.uint32(0))
+
+    img = jnp.repeat(jnp.arange(n_images, dtype=jnp.int32), per_img)[:, None]
+    oob = n_images * bucket                          # dropped via mode=drop
+    idx_hi = jnp.where(q < bucket, img * bucket + q, oob)
+    idx_lo = jnp.where(q + 1 < bucket, img * bucket + q + 1, oob)
+    out = jnp.zeros(n_images * bucket, dtype=jnp.uint32)
+    out = out.at[idx_hi.reshape(-1)].add(hi.reshape(-1), mode="drop")
+    out = out.at[idx_lo.reshape(-1)].add(lo.reshape(-1), mode="drop")
+    return out.reshape(n_images, bucket), totals
+
+
 def interleave_components(comp_vals, comp_lens, nb_blocks):
     """Reorder per-component entry arrays into MCU-interleaved block order.
 

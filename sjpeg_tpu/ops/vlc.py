@@ -60,13 +60,19 @@ def run_levels(qblocks):
     return {"nz": nz, "run": run, "size": size, "code": code, "last": last}
 
 
-def dc_diff_codes(dc):
+def dc_diff_codes(dc, n_images: int = 1):
     """[N] signed quantized DC (component scan order) -> uint16-style codes.
 
     code = n | (suffix << 4); predictor starts at 0 (src/enc.cc:482-499).
+    With `n_images` > 1 (batched encode: N = n_images * blocks_per_image,
+    image-major) the predictor resets at every image boundary.
     """
     dc = dc.astype(jnp.int32)
-    prev = jnp.pad(dc[:-1], (1, 0))
+    if n_images > 1:
+        d2 = dc.reshape(n_images, -1)
+        prev = jnp.pad(d2[:, :-1], ((0, 0), (1, 0))).reshape(-1)
+    else:
+        prev = jnp.pad(dc[:-1], (1, 0))
     diff = dc - prev
     n = jnp.where(diff == 0, 0, calc_log2(jnp.abs(diff)))
     suff = jnp.where(diff < 0, (diff - 1) & ((1 << n) - 1), diff)

@@ -342,15 +342,13 @@ def store_histo(coeffs: np.ndarray) -> np.ndarray:
 
 
 def calc_log2(v: np.ndarray) -> np.ndarray:
-    """Bit length of v (v >= 1): floor(log2(v)) + 1."""
-    v = np.asarray(v, dtype=np.int64)
-    out = np.zeros_like(v)
-    x = v.copy()
-    for shift in (16, 8, 4, 2, 1):
-        hit = x >= (1 << shift)
-        out += np.where(hit, shift, 0)
-        x = np.where(hit, x >> shift, x)
-    return out + (v > 0)
+    """Bit length of v (v >= 1): floor(log2(v)) + 1.
+
+    Implemented with frexp (exact for integers below 2^53): the returned
+    binary exponent of v is exactly its bit length.
+    """
+    v = np.asarray(v)
+    return np.frexp(v.astype(np.float64))[1].astype(np.int64)
 
 
 def dc_diff_codes(dc: np.ndarray) -> np.ndarray:
