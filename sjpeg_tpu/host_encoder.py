@@ -39,9 +39,6 @@ def _group_histograms(coeffs, layout):
 def encode_components(comp_blocks, layout, param: EncoderParam) -> bytes:
     """Encode already-converted component blocks into a full JPEG stream."""
     flags = method_flags(param.method)
-    if flags["use_trellis"]:
-        raise NotImplementedError("trellis quantization: use trellis path")
-
     qmats = param.resolved_quant_matrices().copy()
     min_qmats = param.resolved_min_quant_matrices()
     coeffs = _compute_coeffs(comp_blocks)
@@ -61,8 +58,20 @@ def encode_components(comp_blocks, layout, param: EncoderParam) -> bytes:
             qms[g] = spec.finalize_quant_matrix(tuned, min_qmats[g],
                                                 param.quantization_bias)
 
-    qblocks = [spec.quantize_blocks(coeffs[c], qms[layout.quant_idx[c]])
-               for c in range(layout.nb_comps)]
+    if flags["use_trellis"]:
+        # rate costs come from the tables active *before* optimization
+        # (the K.3 defaults on a single pass; src/enc.cc:1528)
+        defaults = k3_default_tables()
+        cost_luts = [build_code_lut(defaults[2], 256),
+                     build_code_lut(defaults[3], 256)]
+        qblocks = [spec.trellis_quantize_blocks(
+            coeffs[c], qms[layout.quant_idx[c]],
+            qms[layout.quant_idx[c]]["quant"],
+            cost_luts[layout.quant_idx[c]])
+            for c in range(layout.nb_comps)]
+    else:
+        qblocks = [spec.quantize_blocks(coeffs[c], qms[layout.quant_idx[c]])
+                   for c in range(layout.nb_comps)]
     comp_rl = [spec.block_run_levels(qb) for qb in qblocks]
     comp_dc = [spec.dc_diff_codes(qb[:, 0]) for qb in qblocks]
 

@@ -28,17 +28,11 @@ import jax.numpy as jnp
 WORDS_PER_BLOCK = 64
 
 
-def pack_block_entries(vals, lens):
-    """[N, E] entries -> ([N, WORDS_PER_BLOCK] uint32, [N] int32 bit counts).
-
-    Bits are MSB-first: the stream's first bit is bit 31 of word 0.
-    """
-    N, E = vals.shape
-    offs = jnp.cumsum(lens, axis=1) - lens           # exclusive prefix sum
-    total = offs[:, -1] + lens[:, -1]
-
+def _shift_contributions(vals, lens, offs):
+    """Split right-aligned (vals, lens) entries at bit offsets `offs` into
+    per-entry (hi, lo) word contributions: hi lands in word offs >> 5, lo
+    spills into the next word when the entry straddles a word boundary."""
     b = offs & 31
-    q = offs >> 5
     end = b + lens                                   # <= 63
     active = lens > 0
     # All shift amounts clamped into [0, 31]; the unselected where-branch may
@@ -48,44 +42,114 @@ def pack_block_entries(vals, lens):
     sh_lo = jnp.clip(64 - end, 0, 31).astype(jnp.uint32)
     hi = jnp.where(end <= 32, vals << sh_hi_l, vals >> sh_hi_r)
     hi = jnp.where(active, hi, jnp.uint32(0))
-    # low word: spill into word q+1 when the entry straddles
     lo = jnp.where(end > 32, vals << sh_lo, jnp.uint32(0))
+    return hi, lo
 
-    rows = jnp.arange(N, dtype=jnp.int32)[:, None]
-    flat_hi = (rows * WORDS_PER_BLOCK + q).reshape(-1)
-    flat_lo = (rows * WORDS_PER_BLOCK + q + 1).reshape(-1)
-    words = jnp.zeros(N * WORDS_PER_BLOCK + 1, dtype=jnp.uint32)
-    words = words.at[flat_hi].add(hi.reshape(-1), mode="drop")
-    # `lo` is zero whenever q+1 would cross into the next block's buffer,
-    # so the stray index is harmless; still drop out-of-range for safety.
-    words = words.at[flat_lo].add(lo.reshape(-1), mode="drop")
-    return words[:-1].reshape(N, WORDS_PER_BLOCK), total
+
+def _searchsorted_rows(offs, limits):
+    """Per-row binary search: b[n, k] = #{i : offs[n, i] < limits[k]}.
+
+    `offs`: [N, E] row-sorted int32; `limits`: [K] int32 grid.  Returns
+    [N, K] int32.  log2(E) rounds of gather+compare — no scatters.
+    """
+    N, E = offs.shape
+    K = limits.shape[0]
+    lo = jnp.zeros((N, K), dtype=jnp.int32)
+    hi = jnp.full((N, K), E, dtype=jnp.int32)
+    for _ in range(E.bit_length() + 1):
+        active = hi > lo
+        mid = (lo + hi) >> 1
+        vm = jnp.take_along_axis(offs, jnp.clip(mid, 0, E - 1), axis=1)
+        less = vm < limits[None, :]
+        lo = jnp.where(active & less, mid + 1, lo)
+        hi = jnp.where(active & ~less, mid, hi)
+    return lo
+
+
+def _segment_sums_from_prefix(prefix, b):
+    """Telescoped modular segment sums.
+
+    `prefix`: [N, E] inclusive cumsum (mod 2^32) of per-entry contributions;
+    `b`: [N, K+1] monotone boundaries (entry counts).  Returns [N, K] sums of
+    entries in [b[k], b[k+1]).  Exact because each segment's true sum fits
+    32 bits (disjoint-bit adds), so the modular telescoping cancels.
+    """
+    N, E = prefix.shape
+    padded = jnp.concatenate(
+        [jnp.zeros((N, 1), prefix.dtype), prefix], axis=1)   # [N, E+1]
+    at_b = jnp.take_along_axis(padded, b, axis=1)            # [N, K+1]
+    return at_b[:, 1:] - at_b[:, :-1]
+
+
+def pack_block_entries(vals, lens):
+    """[N, E] entries -> ([N, WORDS_PER_BLOCK] uint32, [N] int32 bit counts).
+
+    Bits are MSB-first: the stream's first bit is bit 31 of word 0.
+    Scatter-free: entry offsets are monotone within a block, so each output
+    word's contribution is a contiguous entry range recovered by prefix sums
+    + a per-row binary search over the 32-bit word grid.
+    """
+    N, E = vals.shape
+    offs = jnp.cumsum(lens, axis=1) - lens           # exclusive prefix sum
+    total = offs[:, -1] + lens[:, -1]
+    hi, lo = _shift_contributions(vals, lens, offs)
+
+    limits = (32 * jnp.arange(WORDS_PER_BLOCK + 1, dtype=jnp.int32))
+    b = _searchsorted_rows(offs, limits)             # [N, W+1]
+    h_sum = _segment_sums_from_prefix(jnp.cumsum(hi, axis=1), b)
+    l_sum = _segment_sums_from_prefix(jnp.cumsum(lo, axis=1), b)
+    # word w: own entries' hi plus the previous word's entries' lo spill
+    l_prev = jnp.pad(l_sum[:, :-1], ((0, 0), (1, 0)))
+    return h_sum + l_prev, total
+
+
+def _concat_rows(words, bit_lens, out_words: int):
+    """Merge row-wise block streams into per-row contiguous streams.
+
+    `words`: [R, n, W] uint32 — R independent streams, each the
+    concatenation of n blocks of W words; `bit_lens`: [R, n].  Returns
+    ([R, out_words] uint32, [R] int32 totals).  Scatter-free: per-block
+    word entries are given clamped monotone global offsets, then the same
+    prefix-sum + binary-search segment reduction as the entry packer.
+    """
+    R, n, W = words.shape
+    offs = jnp.cumsum(bit_lens, axis=1) - bit_lens      # [R, n] bit offsets
+    totals = offs[:, -1] + bit_lens[:, -1]
+
+    j32 = 32 * jnp.arange(W, dtype=jnp.int32)
+    # clamped entry offsets keep the flattened sequence monotone even for
+    # the (zero) words past each block's bit length
+    goff = (offs[:, :, None]
+            + jnp.minimum(j32[None, None, :], bit_lens[:, :, None]))
+    s = (offs & 31)[:, :, None]
+    su = s.astype(jnp.uint32)
+    hi = words >> su
+    lo = jnp.where(s > 0,
+                   words << jnp.clip(32 - s, 0, 31).astype(jnp.uint32),
+                   jnp.uint32(0))
+
+    E = n * W
+    goff = goff.reshape(R, E)
+    hi = hi.reshape(R, E)
+    lo = lo.reshape(R, E)
+    limits = 32 * jnp.arange(out_words + 1, dtype=jnp.int32)
+    b = _searchsorted_rows(goff, limits)                # [R, out+1]
+    h_sum = _segment_sums_from_prefix(jnp.cumsum(hi, axis=1), b)
+    l_sum = _segment_sums_from_prefix(jnp.cumsum(lo, axis=1), b)
+    l_prev = jnp.pad(l_sum[:, :-1], ((0, 0), (1, 0)))
+    return h_sum + l_prev, totals
 
 
 def concat_block_streams(words, bit_lens):
     """Merge per-block bit streams into one contiguous stream.
 
     `words`: [N, W] uint32 (bits beyond each block's length are zero);
-    `bit_lens`: [N] int32.  Returns ([N * W + 1] uint32 words of which only
-    the first ceil(total/32) are meaningful, total_bits int32 scalar).
+    `bit_lens`: [N] int32.  Returns ([N * W] uint32 words of which only the
+    first ceil(total/32) are meaningful, total_bits int32 scalar).
     """
     N, W = words.shape
-    offs = jnp.cumsum(bit_lens) - bit_lens           # global bit offsets
-    total = offs[-1] + bit_lens[-1]
-
-    word_bit = offs[:, None] + 32 * jnp.arange(W, dtype=jnp.int32)[None, :]
-    s = (offs & 31)[:, None]                         # per-block shift
-    q = word_bit >> 5
-    w = words
-    su = s.astype(jnp.uint32)
-    hi = w >> su
-    lo = jnp.where(s > 0, w << jnp.clip(32 - s, 0, 31).astype(jnp.uint32),
-                   jnp.uint32(0))
-
-    out = jnp.zeros(N * W + 2, dtype=jnp.uint32)
-    out = out.at[q.reshape(-1)].add(hi.reshape(-1), mode="drop")
-    out = out.at[(q + 1).reshape(-1)].add(lo.reshape(-1), mode="drop")
-    return out[:-2], total
+    out, totals = _concat_rows(words[None], bit_lens[None], N * W)
+    return out[0], totals[0]
 
 
 def concat_block_streams_batched(words, bit_lens, n_images: int,
@@ -99,28 +163,9 @@ def concat_block_streams_batched(words, bit_lens, n_images: int,
     """
     N, W = words.shape
     per_img = N // n_images
-    bl = bit_lens.reshape(n_images, per_img)
-    offs = jnp.cumsum(bl, axis=1) - bl               # in-image bit offsets
-    totals = offs[:, -1] + bl[:, -1]
-
-    offs_flat = offs.reshape(-1)
-    word_bit = offs_flat[:, None] + 32 * jnp.arange(W, dtype=jnp.int32)[None]
-    s = (offs_flat & 31)[:, None]
-    q = word_bit >> 5                                # in-image word index
-    su = s.astype(jnp.uint32)
-    hi = words >> su
-    lo = jnp.where(s > 0,
-                   words << jnp.clip(32 - s, 0, 31).astype(jnp.uint32),
-                   jnp.uint32(0))
-
-    img = jnp.repeat(jnp.arange(n_images, dtype=jnp.int32), per_img)[:, None]
-    oob = n_images * bucket                          # dropped via mode=drop
-    idx_hi = jnp.where(q < bucket, img * bucket + q, oob)
-    idx_lo = jnp.where(q + 1 < bucket, img * bucket + q + 1, oob)
-    out = jnp.zeros(n_images * bucket, dtype=jnp.uint32)
-    out = out.at[idx_hi.reshape(-1)].add(hi.reshape(-1), mode="drop")
-    out = out.at[idx_lo.reshape(-1)].add(lo.reshape(-1), mode="drop")
-    return out.reshape(n_images, bucket), totals
+    out, totals = _concat_rows(words.reshape(n_images, per_img, W),
+                               bit_lens.reshape(n_images, per_img), bucket)
+    return out, totals
 
 
 def interleave_components(comp_vals, comp_lens, nb_blocks):

@@ -336,6 +336,119 @@ def store_histo(coeffs: np.ndarray) -> np.ndarray:
                               minlength=C.MAX_HISTO_DCT_COEFF)
     return hist
 
+def trellis_quantize_block(coeffs64: np.ndarray, qm: dict,
+                           quant_u8: np.ndarray,
+                           ac_lut: np.ndarray) -> np.ndarray:
+    """Rate-distortion (Viterbi) quantization of one block.
+
+    `coeffs64`: [64] int fDCT coefficients (x16, raster order); `quant_u8`:
+    the clamped quant matrix; `ac_lut`: packed (code << 16 | len) AC Huffman
+    LUT supplying bit costs.  Returns the [64] signed quantized block in
+    raster order (DC quantized with the plain bias quantizer).
+
+    Per zigzag position two candidate levels (the bias-quantized value and
+    the largest value one bit shorter) open trellis nodes; each searches all
+    previous nodes for the best predecessor under score = distortion +
+    lambda * bits with lambda = (quant << 4)^2 / 32, with uint32 modular
+    score arithmetic like the reference (src/enc.cc:692-761).
+    """
+    M32 = 1 << 32
+    iquant = qm["iquant"].astype(np.int64)
+    bias = qm["bias"].astype(np.int64)
+    esc_len = int(ac_lut[0xF0]) & 0xFF
+
+    zz = C.ZIGZAG
+    # nodes: list of dicts
+    sink = {"score": 0, "disto": 0, "pos": 0, "rank": 0, "nbits": 0,
+            "run": 0, "code": 0, "prev": None}
+    nodes = [sink]
+    disto0 = np.zeros(64, dtype=np.int64)
+    acc = 0
+    kmax = 0xFFFFFFFF
+
+    for i in range(1, 64):
+        j = int(zz[i])
+        q = (int(quant_u8[j]) << C.AC_BITS)
+        lam = (q * q // 32) % M32
+        V0 = int(coeffs64[j])
+        mask = -1 if V0 < 0 else 0
+        V = abs(V0)
+        acc += V * V
+        disto0[i] = acc
+        v = int(((V + bias[j]) * iquant[j] >> C.FP_BITS) >> C.AC_BITS)
+        if v == 0:
+            continue
+        nbits = int(calc_log2(v))
+        for _ in range(2):
+            err = V - v * q
+            cand = {"code": (v ^ mask) & ((1 << nbits) - 1), "pos": i,
+                    "disto": (err * err) % M32, "nbits": nbits,
+                    "score": kmax, "prev": None, "rank": 0, "run": 0}
+            base_disto = (cand["disto"] + disto0[i - 1]) % M32
+            found = False
+            for cur in reversed(nodes):
+                run = i - 1 - cur["pos"]
+                if run < 0:
+                    continue
+                bits = nbits + (run >> 4) * esc_len
+                sym = ((run & 15) << 4) | nbits
+                bits += int(ac_lut[sym]) & 0xFF
+                disto = (base_disto - disto0[cur["pos"]]) % M32
+                score = (disto + lam * bits + cur["score"]) % M32
+                if score < cand["score"]:
+                    cand.update(score=score, disto=disto, prev=cur,
+                                rank=cur["rank"] + 1, run=run, bits=bits)
+                    found = True
+            if found:
+                nodes.append(cand)
+            nbits -= 1
+            if nbits <= 0:
+                break
+            v = (1 << nbits) - 1
+
+    # backward: add the tail distortion and pick the best end node
+    best = sink
+    if len(nodes) > 1:
+        best_score = kmax
+        for nd in reversed(nodes[1:]):
+            tail = (disto0[63] - disto0[nd["pos"]]) % M32
+            nd["disto"] = (nd["disto"] + tail) % M32
+            nd["score"] = (nd["score"] + tail) % M32
+            if nd["score"] < best_score:
+                best = nd
+                best_score = nd["score"]
+
+    out = np.zeros(64, dtype=np.int32)
+    nd = best
+    while nd is not None and nd["pos"] > 0:
+        j = int(zz[nd["pos"]])
+        n = nd["nbits"]
+        code = nd["code"]
+        # undo the suffix coding: recover the signed level
+        if code >> (n - 1) & 1:
+            level = code
+        else:
+            level = -((code ^ ((1 << n) - 1)))
+        out[j] = level
+        nd = nd["prev"]
+
+    # DC: plain bias quantization
+    dc_mag = int(((abs(int(coeffs64[0])) + bias[0]) * iquant[0]
+                  >> C.FP_BITS) >> C.AC_BITS)
+    out[0] = -dc_mag if coeffs64[0] < 0 else dc_mag
+    return out
+
+
+def trellis_quantize_blocks(coeffs: np.ndarray, qm: dict,
+                            quant_u8: np.ndarray,
+                            ac_lut: np.ndarray) -> np.ndarray:
+    """Trellis quantization over [N, 64] blocks (host loop)."""
+    out = np.empty_like(coeffs, dtype=np.int32)
+    for n in range(coeffs.shape[0]):
+        out[n] = trellis_quantize_block(coeffs[n], qm, quant_u8, ac_lut)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # VLC preparation (vectorized run/level/size computation)
 # ---------------------------------------------------------------------------
