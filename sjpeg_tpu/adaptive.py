@@ -135,10 +135,10 @@ def analyse_histo(histo: np.ndarray, quant: np.ndarray, min_quant: np.ndarray,
         dl, sl = dist_l[pos], sizes_l[pos]
         for delta in range(delta_max + 1):
             if dl[delta] < flt_max:
-                score = dl[delta] + lam * sl[delta]
+                # the reference computes and compares `score` in float32
+                score = float(np.float32(dl[delta] + lam * sl[delta]))
                 if score < best_score:
-                    # the reference keeps best_score as float32
-                    best_score = float(np.float32(score))
+                    best_score = score
                     best_dq = delta + C.QDELTA_MIN
         new_quant[pos] += best_dq
         assert new_quant[pos] >= 1

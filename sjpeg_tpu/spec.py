@@ -406,11 +406,13 @@ def trellis_quantize_block(coeffs64: np.ndarray, qm: dict,
                 break
             v = (1 << nbits) - 1
 
-    # backward: add the tail distortion and pick the best end node
+    # backward: add the tail distortion and pick the best end node.  The
+    # reference's post-decrement loop includes the sink, so "emit no AC at
+    # all" (tail = the whole block energy) competes too.
     best = sink
     if len(nodes) > 1:
         best_score = kmax
-        for nd in reversed(nodes[1:]):
+        for nd in reversed(nodes):
             tail = (disto0[63] - disto0[nd["pos"]]) % M32
             nd["disto"] = (nd["disto"] + tail) % M32
             nd["score"] = (nd["score"] + tail) % M32
