@@ -1,0 +1,201 @@
+"""Target-size / target-PSNR search (the dichotomy loop).
+
+Per pass: rescale the quant matrices for the hook's quality (plus adaptive
+tuning), re-quantize the *cached* fDCT coefficients, and evaluate either the
+exact output size (header model + entropy bit count incl. 0xFF stuffing) or
+the quantization-error PSNR; the hook bisects the quality bracket.  The best
+matrices over all passes win.  Behavioral contract: reference
+src/dichotomy.cc:106-295 (LoopScan, HeaderSize, BlocksSize, ComputeSize,
+ComputePSNR) and the SearchHook protocol (src/sjpeg.h:339-357).
+
+Coefficients are computed once and stay cached (on device for the TPU path)
+— passes replay quantization + bit counting only, the same memoization the
+reference implements with use_extra_memory_/reuse_run_levels_.
+"""
+
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from . import constants as C
+from . import spec
+from .huffman import (HuffmanTable, build_code_lut, k3_default_tables,
+                      optimal_tables_from_freqs)
+from .params import EncoderParam, SearchHook, method_flags, \
+    quant_matrices_for_quality
+from .tools import estimate_quality
+
+
+def header_size_bits(param: EncoderParam, nb_comps: int,
+                     tables: List[HuffmanTable]) -> int:
+    """The reference's header-size model (src/dichotomy.cc:197-228), bits."""
+    size = 20                                # APP0
+    size += len(param.app_markers)
+    if param.exif:
+        size += 8 + len(param.exif)
+    if param.iccp:
+        chunk_max = 0xFFFF - 12 - 4
+        num_chunks = (len(param.iccp) - 1) // chunk_max + 1
+        size += num_chunks * (12 + 4 + 2) + len(param.iccp)
+    if param.xmp:
+        size += 2 + 2 + 29 + len(param.xmp)
+        if len(param.xmp) > 65533:
+            size += (len(param.xmp) // 65458 + 1) * 40
+    size += 2 * 65 + 2 + 2                   # DQT
+    size += 8 + 3 * nb_comps + 2             # SOF
+    size += 6 + 2 * nb_comps + 2             # SOS
+    size += 2                                # EOI
+    for c in range(1 if nb_comps == 1 else 2):
+        for type_ in range(2):
+            size += 2 + 3 + 16 + tables[type_ * 2 + c].nb_syms
+    return size * 8
+
+
+def scan_bits_with_stuffing(comp_rl, comp_dc, layout, dc_luts, ac_luts,
+                            order) -> int:
+    """Exact entropy-scan bit count incl. byte stuffing (BitCounter model:
+    every completed 0xFF byte adds 8 stuffing bits; the trailing partial
+    byte never counts)."""
+    from .bitio import BitWriter
+    w = BitWriter()
+    spec.code_scan(w, order, comp_rl, comp_dc, layout.quant_idx,
+                   dc_luts, ac_luts)
+    # BitWriter.bit_count already includes the stuffed zero bytes, matching
+    # the BitCounter model (raw bits + 8 per completed 0xFF byte).
+    return w.bit_count
+
+
+def get_psnr(err: int, size: int) -> float:
+    """float32 PSNR formula, written exactly like the reference."""
+    if err > 0 and size > 0:
+        return float(np.float32(4.3429448 * math.log(
+            size / (err / 255.0 / 255.0))))
+    return 99.0
+
+
+def loop_scan(coeffs, histos, layout, param: EncoderParam):
+    """Run the search over cached coefficients.
+
+    `coeffs`: per-component [N_c, 64] int arrays; `histos`: per-group
+    histograms (or None when not adaptive).  Returns (qms, tables, comp_rl,
+    comp_dc, hook) ready for final emission.
+    """
+    from . import pipeline
+    from .adaptive import analyse_histo
+
+    flags = method_flags(param.method)
+    min_qmats = param.resolved_min_quant_matrices()
+    hook = param.search_hook or SearchHook()
+    initial_q = min(max(estimate_quality(
+        param.resolved_quant_matrices()[0]), 0.0), 100.0)
+    hook.setup(param, initial_q)
+
+    defaults = k3_default_tables()
+    tables = list(defaults)
+    cost_luts = [build_code_lut(defaults[2], 256),
+                 build_code_lut(defaults[3], 256)]
+    order = pipeline.scan_order(layout)
+    n_groups = 2 if layout.nb_comps > 1 else 1
+
+    best = 0.0
+    best_q = 0.0
+    best_result = 0.0
+    last_is_best = False
+    opt_quants = None
+    passes = min(max(param.passes, 1), 20)
+
+    state = {}
+
+    def quantize_all(qms):
+        if flags["use_trellis"]:
+            qb = [spec.trellis_quantize_blocks(
+                coeffs[c], qms[layout.quant_idx[c]],
+                qms[layout.quant_idx[c]]["quant"],
+                cost_luts[layout.quant_idx[c]])
+                for c in range(layout.nb_comps)]
+        else:
+            qb = [spec.quantize_blocks(coeffs[c], qms[layout.quant_idx[c]])
+                  for c in range(layout.nb_comps)]
+        comp_rl = [spec.block_run_levels(q) for q in qb]
+        comp_dc = [spec.dc_diff_codes(q[:, 0]) for q in qb]
+        return comp_rl, comp_dc
+
+    def build_tables(comp_rl, comp_dc):
+        freq_dc = np.zeros((2, 12), dtype=np.int64)
+        freq_ac = np.zeros((2, 256), dtype=np.int64)
+        for c in range(layout.nb_comps):
+            fdc, fac = spec.entropy_stats(comp_rl[c], comp_dc[c])
+            freq_dc[layout.quant_idx[c]] += fdc
+            freq_ac[layout.quant_idx[c]] += fac
+        t = optimal_tables_from_freqs(freq_dc, freq_ac, n_groups)
+        if n_groups == 1:
+            t[1], t[3] = defaults[1], defaults[3]
+        return t
+
+    for p in range(passes):
+        hook.pass_count = p
+        qmats = np.stack([hook.next_matrices()[c] for c in range(2)])
+        qms = [spec.finalize_quant_matrix(qmats[g], min_qmats[g],
+                                          param.quantization_bias)
+               for g in range(2)]
+        if flags["use_adaptive_quant"]:
+            for g in range(n_groups - 1, -1, -1):
+                qdelta_max = (param.qdelta_max_luma if g == 0
+                              else param.qdelta_max_chroma)
+                tuned = analyse_histo(histos[g].astype(np.int64),
+                                      qms[g]["quant"], min_qmats[g],
+                                      qdelta_max)
+                qms[g] = spec.finalize_quant_matrix(
+                    tuned, min_qmats[g], param.quantization_bias)
+
+        if hook.for_size:
+            comp_rl, comp_dc = quantize_all(qms)
+            if flags["optimize_size"]:
+                tables = build_tables(comp_rl, comp_dc)
+                if flags["use_trellis"]:
+                    cost_luts[0] = build_code_lut(tables[2], 256)
+                    if tables[3] is not None:
+                        cost_luts[1] = build_code_lut(tables[3], 256)
+            dc_luts = [build_code_lut(tables[0], 16),
+                       build_code_lut(tables[1], 16)
+                       if tables[1] is not None else None]
+            ac_luts = [build_code_lut(tables[2], 256),
+                       build_code_lut(tables[3], 256)
+                       if tables[3] is not None else None]
+            bits = (header_size_bits(param, layout.nb_comps, tables)
+                    + scan_bits_with_stuffing(comp_rl, comp_dc, layout,
+                                              dc_luts, ac_luts, order))
+            result = float(np.float32(bits / 8.0))
+            state = {"comp_rl": comp_rl, "comp_dc": comp_dc}
+        else:
+            err = 0
+            for c in range(layout.nb_comps):
+                err += int(spec.quantize_error(
+                    coeffs[c], qms[layout.quant_idx[c]]).sum())
+            n_blocks = sum(co.shape[0] for co in coeffs)
+            result = get_psnr(err, 64 * n_blocks)
+
+        last_is_best = (p == 0
+                        or abs(result - hook.target) < best)
+        if last_is_best:
+            opt_quants = [qms[0]["quant"].copy(), qms[1]["quant"].copy()]
+            best = abs(result - hook.target)
+            best_q = hook.q
+            best_result = result
+        if hook.update(result):
+            break
+
+    qms = [spec.finalize_quant_matrix(opt_quants[g], min_qmats[g],
+                                      param.quantization_bias)
+           for g in range(2)]
+    hook.q = best_q
+    hook.value = best_result
+
+    if not hook.for_size or not last_is_best:
+        comp_rl, comp_dc = quantize_all(qms)
+        if flags["optimize_size"]:
+            tables = build_tables(comp_rl, comp_dc)
+        state = {"comp_rl": comp_rl, "comp_dc": comp_dc}
+
+    return qms, tables, state["comp_rl"], state["comp_dc"], hook

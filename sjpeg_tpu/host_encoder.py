@@ -43,6 +43,14 @@ def encode_components(comp_blocks, layout, param: EncoderParam) -> bytes:
     min_qmats = param.resolved_min_quant_matrices()
     coeffs = _compute_coeffs(comp_blocks)
 
+    if param.passes > 1:
+        from .dichotomy import loop_scan
+        histos = (_group_histograms(coeffs, layout)
+                  if flags["use_adaptive_quant"] else None)
+        qms, tables, comp_rl, comp_dc, _hook = loop_scan(
+            coeffs, histos, layout, param)
+        return _emit(layout, param, qms, tables, comp_rl, comp_dc)
+
     qms = [spec.finalize_quant_matrix(qmats[i], min_qmats[i],
                                       param.quantization_bias)
            for i in range(2)]
@@ -90,6 +98,10 @@ def encode_components(comp_blocks, layout, param: EncoderParam) -> bytes:
     else:
         tables = k3_default_tables()
 
+    return _emit(layout, param, qms, tables, comp_rl, comp_dc)
+
+
+def _emit(layout, param, qms, tables, comp_rl, comp_dc) -> bytes:
     dc_luts = [build_code_lut(tables[0], 16),
                build_code_lut(tables[1], 16) if tables[1] is not None else None]
     ac_luts = [build_code_lut(tables[2], 256),
