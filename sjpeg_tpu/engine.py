@@ -299,13 +299,8 @@ def _finalize_scan_bytes(words, total_bits: int) -> bytes:
         w = words[: (total_bits + 31) // 32]
     else:
         w = fetch_stream(words, total_bits)
-    raw = w.astype(">u4").view(np.uint8)
-    n_bytes = (total_bits + 7) // 8
-    raw = np.array(raw[:n_bytes])
-    pad = (-total_bits) % 8
-    if pad:
-        raw[-1] |= (1 << pad) - 1     # flush-with-1s padding
-    return stuff_bytes(raw)
+    from . import native
+    return native.words_to_scan(w, total_bits)
 
 
 def _encode_blocks_device(get_coeffs, layout, param: EncoderParam) -> bytes:
