@@ -170,3 +170,16 @@ def encode_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray, is_420: bool,
     layout = pipeline.component_layout(mode, w, h)
     blocks = pipeline.yuv_planes_to_component_blocks(y, u, v, layout)
     return encode_components(blocks, layout, param)
+
+
+def encode_nv12(y: np.ndarray, uv: np.ndarray,
+                param: Optional[EncoderParam] = None) -> bytes:
+    """Encode semi-planar NV12 input: y [H, W], uv [ceil(H/2), ceil(W/2), 2]
+    with interleaved U/V samples."""
+    return encode_yuv(y, uv[..., 0], uv[..., 1], is_420=True, param=param)
+
+
+def encode_nv21(y: np.ndarray, vu: np.ndarray,
+                param: Optional[EncoderParam] = None) -> bytes:
+    """Encode semi-planar NV21 input (V/U interleaved chroma)."""
+    return encode_yuv(y, vu[..., 1], vu[..., 0], is_420=True, param=param)
