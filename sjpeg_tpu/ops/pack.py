@@ -116,26 +116,33 @@ def _concat_rows(words, bit_lens, out_words: int):
     offs = jnp.cumsum(bit_lens, axis=1) - bit_lens      # [R, n] bit offsets
     totals = offs[:, -1] + bit_lens[:, -1]
 
-    j32 = 32 * jnp.arange(W, dtype=jnp.int32)
-    # clamped entry offsets keep the flattened sequence monotone even for
-    # the (zero) words past each block's bit length
-    goff = (offs[:, :, None]
-            + jnp.minimum(j32[None, None, :], bit_lens[:, :, None]))
     s = (offs & 31)[:, :, None]
     su = s.astype(jnp.uint32)
-    hi = words >> su
+    hi = (words >> su).reshape(R, n * W)
     lo = jnp.where(s > 0,
                    words << jnp.clip(32 - s, 0, 31).astype(jnp.uint32),
-                   jnp.uint32(0))
+                   jnp.uint32(0)).reshape(R, n * W)
 
-    E = n * W
-    goff = goff.reshape(R, E)
-    hi = hi.reshape(R, E)
-    lo = lo.reshape(R, E)
+    # Entry (block, j) occupies output word base + j with base = offs >> 5
+    # (in-block words never carry across the block's 32-bit phase).  The
+    # number of entries below the word boundary 32m therefore has a closed
+    # form from two block-level binary searches:
+    #   e(m) = 64 * #{ends < 32m}                        (fully passed blocks)
+    #        + sum over straddling blocks of (m - base)  (partial prefixes)
     limits = 32 * jnp.arange(out_words + 1, dtype=jnp.int32)
-    b = _searchsorted_rows(goff, limits)                # [R, out+1]
-    h_sum = _segment_sums_from_prefix(jnp.cumsum(hi, axis=1), b)
-    l_sum = _segment_sums_from_prefix(jnp.cumsum(lo, axis=1), b)
+    ends = offs + bit_lens
+    n1 = _searchsorted_rows(ends, limits)               # [R, out+1]
+    n2 = _searchsorted_rows(offs, limits)
+    base = offs >> 5
+    sb = jnp.concatenate(
+        [jnp.zeros((R, 1), jnp.int32), jnp.cumsum(base, axis=1)], axis=1)
+    sb_n1 = jnp.take_along_axis(sb, n1, axis=1)
+    sb_n2 = jnp.take_along_axis(sb, n2, axis=1)
+    m_grid = jnp.arange(out_words + 1, dtype=jnp.int32)[None, :]
+    e = W * n1 + (n2 - n1) * m_grid - (sb_n2 - sb_n1)   # [R, out+1]
+
+    h_sum = _segment_sums_from_prefix(jnp.cumsum(hi, axis=1), e)
+    l_sum = _segment_sums_from_prefix(jnp.cumsum(lo, axis=1), e)
     l_prev = jnp.pad(l_sum[:, :-1], ((0, 0), (1, 0)))
     return h_sum + l_prev, totals
 
