@@ -172,3 +172,35 @@ def test_device_encode_matches_oracle_end_to_end(rng):
             p = EncoderParam(quality=80, yuv_mode=mode, huffman_compress=hc,
                              adaptive_quantization=aq)
             assert dev_encode(rgb, p) == host_encode_rgb(rgb, p)
+
+
+def test_pallas_pack_matches_xla_interpret(rng):
+    """Pallas pack kernel (interpret mode) vs the XLA formulation."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.ops import pallas_pack as pp
+    N, E = 24, 191
+    lens = rng.randint(0, 28, (N, E)).astype(np.int32)
+    lens[rng.rand(N, E) < 0.5] = 0
+    vals = np.zeros((N, E), np.uint32)
+    for n in range(N):
+        for e in range(E):
+            if lens[n, e]:
+                vals[n, e] = rng.randint(0, 1 << int(lens[n, e]))
+    want_w, want_t = pack.pack_block_entries(jnp.asarray(vals),
+                                             jnp.asarray(lens))
+    tile = 8
+    v = jnp.pad(jnp.asarray(vals), ((0, 0), (0, pp.ENTRIES - E)))
+    l = jnp.pad(jnp.asarray(lens), ((0, 0), (0, pp.ENTRIES - E)))
+    got_w, got_t = pl.pallas_call(
+        pp._pack_kernel, grid=(N // tile,),
+        in_specs=[pl.BlockSpec((tile, pp.ENTRIES), lambda i: (i, 0)),
+                  pl.BlockSpec((tile, pp.ENTRIES), lambda i: (i, 0))],
+        out_specs=(pl.BlockSpec((tile, pp.WORDS), lambda i: (i, 0)),
+                   pl.BlockSpec((tile, 1), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((N, pp.WORDS), jnp.uint32),
+                   jax.ShapeDtypeStruct((N, 1), jnp.int32)),
+        interpret=True,
+    )(v, l)
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(want_w))
+    np.testing.assert_array_equal(np.asarray(got_t[:, 0]),
+                                  np.asarray(want_t))
