@@ -122,21 +122,51 @@ def _encode_core_body(rgb, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
     (stream words, total bits).  Batching is pure data parallelism on the
     flat block axis — no vmap; DC chains and bit offsets reset per image by
     reshaping that axis.
+
+    Layout note: components interleave into MCU order right after
+    quantization, at the [N, 64] level (lane-aligned, cheap concat); VLC
+    tables are selected per row through flattened LUTs, which keeps every
+    downstream array in its natural row-major layout (the per-component
+    entry concat used to force a transposed relayout that dominated the
+    whole program).
     """
     blocks = colorspace.rgb_to_blocks(rgb, yuv_mode, width, height)
     coeffs = [fdct.fdct_blocks(b) for b in blocks]
-    comp_vals, comp_lens = [], []
-    for c, coef in enumerate(coeffs):
-        g = 0 if c == 0 else 1
-        qb = quantize.quantize_blocks(coef, iquant[g], ibias[g])
-        rl = vlc.run_levels(qb)
-        dc = vlc.dc_diff_codes(qb[:, 0], n_images)
-        v, l = vlc.block_entries(rl, dc, dc_luts[g], ac_luts[g])
-        comp_vals.append(v)
-        comp_lens.append(l)
-    vals, lens = pack.interleave_components(comp_vals, comp_lens,
-                                            list(nb_blocks))
-    words, bit_lens = pack.pack_block_entries(vals, lens)
+    qbs = [quantize.quantize_blocks(coef, iquant[0 if c == 0 else 1],
+                                    ibias[0 if c == 0 else 1])
+           for c, coef in enumerate(coeffs)]
+
+    mcu_blocks = sum(nb_blocks)
+    n_mcu = qbs[0].shape[0] // nb_blocks[0]
+    qinter = jnp.concatenate(
+        [qb.reshape(n_mcu, nb, 64) for qb, nb in zip(qbs, nb_blocks)],
+        axis=1).reshape(-1, 64)
+
+    rl = vlc.run_levels(qinter)
+
+    # per-component DC chains over the interleaved layout
+    dcv = qinter[:, 0].reshape(n_mcu, mcu_blocks)
+    dc_cols = []
+    col = 0
+    for c, nb in enumerate(nb_blocks):
+        comp_dc = dcv[:, col:col + nb].reshape(-1)
+        codes = vlc.dc_diff_codes(comp_dc, n_images)
+        dc_cols.append(codes.reshape(n_mcu, nb))
+        col += nb
+    dc_codes = jnp.concatenate(dc_cols, axis=1).reshape(-1)
+
+    # per-row table group: luma for the first nb_blocks[0] slots of each MCU
+    slot_group = np.zeros(mcu_blocks, dtype=np.int32)
+    slot_group[nb_blocks[0]:] = 1 if len(nb_blocks) > 1 else 0
+    group = jnp.tile(jnp.asarray(slot_group), n_mcu)
+
+    vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts, ac_luts,
+                                           group)
+    if jax.default_backend() != "cpu":
+        from .ops import pallas_pack
+        words, bit_lens = pallas_pack.pack_block_entries_pallas(vals, lens)
+    else:
+        words, bit_lens = pack.pack_block_entries(vals, lens)
     if bucket is not None:
         return pack.concat_block_streams_batched(words, bit_lens, n_images,
                                                  bucket)

@@ -28,11 +28,32 @@ WORDS = 64
 DEFAULT_TILE = 256     # blocks per grid step
 
 
+def _cumsum_lanes_exclusive(x):
+    """Exclusive prefix sum along the last (lane) axis, log-step shifts.
+
+    Mosaic has no cumsum primitive; build it from static-shape shifted
+    adds (zero-padded concatenation, no dynamic slicing).
+    """
+    lanes = x.shape[-1]
+    zeros = jnp.zeros_like(x)
+    total = x
+    s = 1
+    while s < lanes:
+        shifted = jnp.concatenate(
+            [zeros[:, :s], total[:, :-s]], axis=1)
+        total = total + shifted
+        s <<= 1
+    return total - x       # exclusive
+
+
 def _pack_kernel(vals_ref, lens_ref, words_ref, total_ref):
     vals = vals_ref[:]                       # [T, E] uint32
     lens = lens_ref[:]                       # [T, E] int32
-    offs = jnp.cumsum(lens, axis=1) - lens
-    total_ref[:] = (offs[:, -1] + lens[:, -1])[:, None]
+    offs = _cumsum_lanes_exclusive(lens)
+    E = lens.shape[1]
+    last = jax.lax.slice_in_dim(offs, E - 1, E, axis=1) + \
+        jax.lax.slice_in_dim(lens, E - 1, E, axis=1)
+    total_ref[:] = last
 
     b = offs & 31
     end = b + lens

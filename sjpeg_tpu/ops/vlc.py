@@ -94,6 +94,69 @@ def entropy_stats(rl, dc_codes):
     return freq_dc[:12], freq_ac[:256]
 
 
+def block_entries_grouped(rl, dc_codes, dc_luts, ac_luts, group):
+    """Like `block_entries` for rows of mixed luma/chroma tables.
+
+    `dc_luts` [2, 16] / `ac_luts` [2, 256] uint32; `group` [N] int32 row
+    table index.  Lookups go through flattened LUTs with a per-row offset,
+    so interleaved (MCU-ordered) block arrays need no component split.
+    """
+    N = dc_codes.shape[0]
+    dc_flat = dc_luts.reshape(-1)
+    ac_flat = ac_luts.reshape(-1)
+    g16 = (group * 16)[:, None]
+    g256 = (group * 256)[:, None]
+
+    vals = jnp.zeros((N, NUM_ENTRIES), dtype=jnp.uint32)
+    lens = jnp.zeros((N, NUM_ENTRIES), dtype=jnp.int32)
+
+    dc_len = (dc_codes & 0x0F)[:, None]
+    packed = jnp.take(dc_flat, g16 + dc_len)
+    h_code = (packed >> 16).astype(jnp.uint32)
+    h_len = (packed & 0xFF).astype(jnp.int32)
+    suffix = (dc_codes >> 4).astype(jnp.uint32)[:, None]
+    vals = vals.at[:, _DC_LANE].set(
+        ((h_code << dc_len.astype(jnp.uint32)) | suffix)[:, 0])
+    lens = lens.at[:, _DC_LANE].set((h_len + dc_len)[:, 0])
+
+    nz = rl["nz"][:, 1:]
+    run = rl["run"][:, 1:]
+    size = rl["size"][:, 1:]
+    code = rl["code"][:, 1:].astype(jnp.uint32)
+
+    esc_packed = jnp.take(ac_flat, g256 + 0xF0)          # [N, 1]
+    esc_code = (esc_packed >> 16).astype(jnp.uint32)
+    esc_len = (esc_packed & 0xFF).astype(jnp.int32)
+
+    n_esc = jnp.where(nz, run >> 4, 0)
+    pair = jnp.minimum(n_esc, 2)
+    single = n_esc - pair
+    pair_val = jnp.where(
+        pair == 2, (esc_code << esc_len.astype(jnp.uint32)) | esc_code,
+        jnp.where(pair == 1, esc_code, jnp.uint32(0)))
+    sym = ((run & 15) << 4) | size
+    sym_packed = jnp.take(ac_flat, g256 + sym)
+    s_code = (sym_packed >> 16).astype(jnp.uint32)
+    s_len = (sym_packed & 0xFF).astype(jnp.int32)
+    sym_val = (s_code << size.astype(jnp.uint32)) | code
+    sym_len = jnp.where(nz, s_len + size, 0)
+
+    vals = vals.at[:, 1:190:3].set(pair_val)
+    lens = lens.at[:, 1:190:3].set(pair * esc_len)
+    vals = vals.at[:, 2:190:3].set(jnp.where(single == 1, esc_code, 0))
+    lens = lens.at[:, 2:190:3].set(single * esc_len)
+    vals = vals.at[:, 3:190:3].set(jnp.where(nz, sym_val, 0))
+    lens = lens.at[:, 3:190:3].set(sym_len)
+
+    eob_packed = jnp.take(ac_flat, g256[:, 0] + 0x00)
+    has_eob = rl["last"] < 63
+    vals = vals.at[:, _EOB_LANE].set(
+        jnp.where(has_eob, (eob_packed >> 16).astype(jnp.uint32), 0))
+    lens = lens.at[:, _EOB_LANE].set(
+        jnp.where(has_eob, (eob_packed & 0xFF).astype(jnp.int32), 0))
+    return vals, lens
+
+
 def block_entries(rl, dc_codes, dc_lut, ac_lut):
     """Build the [N, 191] (value, bit-length) entry streams for one component.
 
