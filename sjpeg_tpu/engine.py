@@ -162,12 +162,17 @@ def _encode_core_body(rgb, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
 
     vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts, ac_luts,
                                            group)
-    if jax.default_backend() != "cpu":
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu:
         from .ops import pallas_pack
         words, bit_lens = pallas_pack.pack_block_entries_pallas(vals, lens)
     else:
         words, bit_lens = pack.pack_block_entries(vals, lens)
     if bucket is not None:
+        if on_tpu:
+            from .ops import pallas_concat
+            return pallas_concat.concat_block_streams_pallas(
+                words, bit_lens, n_images=n_images, bucket=bucket)
         return pack.concat_block_streams_batched(words, bit_lens, n_images,
                                                  bucket)
     return pack.concat_block_streams(words, bit_lens)

@@ -204,3 +204,42 @@ def test_pallas_pack_matches_xla_interpret(rng):
     np.testing.assert_array_equal(np.asarray(got_w), np.asarray(want_w))
     np.testing.assert_array_equal(np.asarray(got_t[:, 0]),
                                   np.asarray(want_t))
+
+
+def test_pallas_concat_matches_xla_interpret(rng):
+    """Pallas concat kernel (interpret mode) vs the XLA formulation."""
+    from jax.experimental import pallas as pl
+    import sjpeg_tpu.ops.pallas_concat as pc
+    n_images, per_img = 2, 700
+    N = n_images * per_img
+    lens = rng.randint(0, 300, N).astype(np.int32)
+    words = np.zeros((N, 64), np.uint32)
+    for n in range(N):
+        L = int(lens[n])
+        for j in range((L + 31) // 32):
+            bits = min(32, L - 32 * j)
+            w = (rng.randint(0, 1 << bits) << (32 - bits)
+                 if bits < 32 else rng.randint(0, 1 << 32))
+            words[n, j] = w
+    bucket = 8192
+    want, wt = pack.concat_block_streams_batched(
+        jnp.asarray(words), jnp.asarray(lens), n_images, bucket)
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        got, gt = pc.concat_block_streams_pallas.__wrapped__(
+            jnp.asarray(words), jnp.asarray(lens), n_images=n_images,
+            bucket=bucket)
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(gt), np.asarray(wt))
+    for b in range(n_images):
+        nw = (int(wt[b]) + 31) // 32
+        np.testing.assert_array_equal(np.asarray(got)[b, :nw],
+                                      np.asarray(want)[b, :nw])
