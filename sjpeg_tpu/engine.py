@@ -160,13 +160,15 @@ def _encode_core_body(rgb, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
     slot_group[nb_blocks[0]:] = 1 if len(nb_blocks) > 1 else 0
     group = jnp.tile(jnp.asarray(slot_group), n_mcu)
 
-    vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts, ac_luts,
-                                           group)
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
-        from .ops import pallas_pack
-        words, bit_lens = pallas_pack.pack_block_entries_pallas(vals, lens)
+        from .ops import pallas_vlc_pack
+        words, bit_lens = pallas_vlc_pack.vlc_pack_pallas(
+            rl["run"], rl["size"], rl["code"], dc_codes, group,
+            dc_luts, ac_luts)
     else:
+        vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts,
+                                               ac_luts, group)
         words, bit_lens = pack.pack_block_entries(vals, lens)
     if bucket is not None:
         if on_tpu:
