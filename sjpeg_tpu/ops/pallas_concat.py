@@ -195,7 +195,7 @@ def concat_block_streams_pallas(words, bit_lens, n_images: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1),
                          lambda i, t, tiles=tiles: (i * tiles + t, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((n_images * bucket_rows, CHUNK),
                                lambda i, t: (0, 0),
