@@ -72,45 +72,81 @@ def _stage_coeffs_planes(planes, yuv_mode: int, width: int, height: int,
     return coeffs, (histo_l, histo_c)
 
 
-@functools.partial(jax.jit, static_argnames=("with_stats",))
-def _stage_quantize(coeffs, iquant, ibias, with_stats: bool):
-    """Quantize all components and derive VLC fields.
+def _interleave_quantized(coeffs, iquant, ibias, nb_blocks, n_images=1):
+    """Quantize per component, interleave into MCU order at the [N, 64]
+    level, and derive zigzag VLC fields + DC codes + per-row table group."""
+    qbs = [quantize.quantize_blocks(coef, iquant[0 if c == 0 else 1],
+                                    ibias[0 if c == 0 else 1])
+           for c, coef in enumerate(coeffs)]
+    mcu_blocks = sum(nb_blocks)
+    n_mcu = qbs[0].shape[0] // nb_blocks[0]
+    qinter = jnp.concatenate(
+        [qb.reshape(n_mcu, nb, 64) for qb, nb in zip(qbs, nb_blocks)],
+        axis=1).reshape(-1, 64)
+    rl = vlc.run_levels(qinter)
 
-    `iquant`/`ibias`: [2, 64] int32 device arrays (luma/chroma groups).
-    Returns per-component (rl dict, dc_codes) and optional per-group
-    frequency arrays.
-    """
-    nb = len(coeffs)
-    out_rl, out_dc = [], []
-    for c, coef in enumerate(coeffs):
-        g = 0 if c == 0 else 1
-        qb = quantize.quantize_blocks(coef, iquant[g], ibias[g])
-        rl = vlc.run_levels(qb)
-        dc = vlc.dc_diff_codes(qb[:, 0])
-        out_rl.append(rl)
-        out_dc.append(dc)
+    dcv = qinter[:, 0].reshape(n_mcu, mcu_blocks)
+    dc_cols = []
+    col = 0
+    for c, nb in enumerate(nb_blocks):
+        comp_dc = dcv[:, col:col + nb].reshape(-1)
+        codes = vlc.dc_diff_codes(comp_dc, n_images)
+        dc_cols.append(codes.reshape(n_mcu, nb))
+        col += nb
+    dc_codes = jnp.concatenate(dc_cols, axis=1).reshape(-1)
+
+    slot_group = np.zeros(mcu_blocks, dtype=np.int32)
+    slot_group[nb_blocks[0]:] = 1 if len(nb_blocks) > 1 else 0
+    group = jnp.tile(jnp.asarray(slot_group), n_mcu)
+    return rl, dc_codes, group
+
+
+def _grouped_stats(rl, dc_codes, group):
+    """Per-table-group symbol frequencies from interleaved VLC fields."""
+    nz = rl["nz"]
+    sym = ((rl["run"] & 15) << 4) | rl["size"]
+    sym = jnp.where(nz, group[:, None] * 257 + sym, 2 * 257)
+    freq_ac2 = jnp.zeros(2 * 257 + 1, dtype=jnp.int32)
+    freq_ac2 = freq_ac2.at[sym.reshape(-1)].add(1)
+    esc = jnp.where(nz, rl["run"] >> 4, 0).sum(axis=1)
+    eobs = (rl["last"] < 63).astype(jnp.int32)
+    freq_ac = freq_ac2[: 2 * 257].reshape(2, 257)[:, :256]
+    for g in range(2):
+        mask = group == g
+        freq_ac = freq_ac.at[g, 0xF0].add(jnp.sum(jnp.where(mask, esc, 0)))
+        freq_ac = freq_ac.at[g, 0x00].add(jnp.sum(jnp.where(mask, eobs, 0)))
+    dc_idx = group * 13 + (dc_codes & 0x0F)
+    freq_dc2 = jnp.zeros(2 * 13, dtype=jnp.int32).at[dc_idx].add(1)
+    freq_dc = freq_dc2.reshape(2, 13)[:, :12]
+    return freq_dc, freq_ac
+
+
+@functools.partial(jax.jit, static_argnames=("with_stats", "nb_blocks"))
+def _stage_quantize(coeffs, iquant, ibias, with_stats: bool,
+                    nb_blocks=(4, 1, 1)):
+    """Quantize + interleave + VLC fields (+ per-group frequencies)."""
+    rl, dc_codes, group = _interleave_quantized(coeffs, iquant, ibias,
+                                                nb_blocks)
     if not with_stats:
-        return out_rl, out_dc, None
-    freq_dc = jnp.zeros((2, 12), dtype=jnp.int32)
-    freq_ac = jnp.zeros((2, 256), dtype=jnp.int32)
-    for c in range(nb):
-        g = 0 if c == 0 else 1
-        fdc, fac = vlc.entropy_stats(out_rl[c], out_dc[c])
-        freq_dc = freq_dc.at[g].add(fdc)
-        freq_ac = freq_ac.at[g].add(fac)
-    return out_rl, out_dc, (freq_dc, freq_ac)
+        return (rl, dc_codes, group), None
+    return (rl, dc_codes, group), _grouped_stats(rl, dc_codes, group)
 
 
-@functools.partial(jax.jit, static_argnames=("nb_blocks",))
-def _stage_pack(rls, dcs, dc_luts, ac_luts, nb_blocks):
+@jax.jit
+def _stage_pack(vlc_state, dc_luts, ac_luts):
     """VLC fields + Huffman LUTs -> compact bit stream (+ total bits)."""
-    comp_vals, comp_lens = [], []
-    for c, (rl, dc) in enumerate(zip(rls, dcs)):
-        g = 0 if c == 0 else 1
-        v, l = vlc.block_entries(rl, dc, dc_luts[g], ac_luts[g])
-        comp_vals.append(v)
-        comp_lens.append(l)
-    vals, lens = pack.interleave_components(comp_vals, comp_lens, nb_blocks)
+    rl, dc_codes, group = vlc_state
+    if jax.default_backend() != "cpu":
+        from .ops import pallas_concat, pallas_vlc_pack
+        words, bit_lens = pallas_vlc_pack.vlc_pack_pallas(
+            rl["run"], rl["size"], rl["code"], dc_codes, group,
+            dc_luts, ac_luts)
+        out, totals = pallas_concat.concat_block_streams_pallas(
+            words, bit_lens, n_images=1,
+            bucket=words.shape[0] * pack.WORDS_PER_BLOCK)
+        return out[0], totals[0]
+    vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts,
+                                           ac_luts, group)
     words, bit_lens = pack.pack_block_entries(vals, lens)
     return pack.concat_block_streams(words, bit_lens)
 
@@ -132,33 +168,8 @@ def _encode_core_body(rgb, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
     """
     blocks = colorspace.rgb_to_blocks(rgb, yuv_mode, width, height)
     coeffs = [fdct.fdct_blocks(b) for b in blocks]
-    qbs = [quantize.quantize_blocks(coef, iquant[0 if c == 0 else 1],
-                                    ibias[0 if c == 0 else 1])
-           for c, coef in enumerate(coeffs)]
-
-    mcu_blocks = sum(nb_blocks)
-    n_mcu = qbs[0].shape[0] // nb_blocks[0]
-    qinter = jnp.concatenate(
-        [qb.reshape(n_mcu, nb, 64) for qb, nb in zip(qbs, nb_blocks)],
-        axis=1).reshape(-1, 64)
-
-    rl = vlc.run_levels(qinter)
-
-    # per-component DC chains over the interleaved layout
-    dcv = qinter[:, 0].reshape(n_mcu, mcu_blocks)
-    dc_cols = []
-    col = 0
-    for c, nb in enumerate(nb_blocks):
-        comp_dc = dcv[:, col:col + nb].reshape(-1)
-        codes = vlc.dc_diff_codes(comp_dc, n_images)
-        dc_cols.append(codes.reshape(n_mcu, nb))
-        col += nb
-    dc_codes = jnp.concatenate(dc_cols, axis=1).reshape(-1)
-
-    # per-row table group: luma for the first nb_blocks[0] slots of each MCU
-    slot_group = np.zeros(mcu_blocks, dtype=np.int32)
-    slot_group[nb_blocks[0]:] = 1 if len(nb_blocks) > 1 else 0
-    group = jnp.tile(jnp.asarray(slot_group), n_mcu)
+    rl, dc_codes, group = _interleave_quantized(coeffs, iquant, ibias,
+                                                nb_blocks, n_images)
 
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
@@ -282,14 +293,12 @@ def fetch_stream(words, total_bits: int) -> np.ndarray:
 
 
 @jax.jit
-def _stage_size_bits(rls, dcs, dc_luts, ac_luts):
+def _stage_size_bits(vlc_state, dc_luts, ac_luts):
     """Total entropy bit count without packing (for size-target search)."""
-    total = jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0)
-    for c, (rl, dc) in enumerate(zip(rls, dcs)):
-        g = 0 if c == 0 else 1
-        _, lens = vlc.block_entries(rl, dc, dc_luts[g], ac_luts[g])
-        total = total + jnp.sum(lens)
-    return total
+    rl, dc_codes, group = vlc_state
+    vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts, ac_luts,
+                                           group)
+    return jnp.sum(lens)
 
 
 @jax.jit
@@ -366,8 +375,9 @@ def _encode_blocks_device(get_coeffs, layout, param: EncoderParam) -> bytes:
                                                 param.quantization_bias)
 
     iq, ib = _quant_device_arrays(qms)
-    rls, dcs, freqs = _stage_quantize(coeffs, iq, ib,
-                                      with_stats=flags["optimize_size"])
+    vlc_state, freqs = _stage_quantize(coeffs, iq, ib,
+                                       with_stats=flags["optimize_size"],
+                                       nb_blocks=tuple(layout.nb_blocks))
 
     if flags["optimize_size"]:
         freq_dc = np.asarray(freqs[0]).astype(np.int64)
@@ -381,8 +391,7 @@ def _encode_blocks_device(get_coeffs, layout, param: EncoderParam) -> bytes:
         tables = k3_default_tables()
 
     dc_luts, ac_luts = _device_luts(tables)
-    words, total = _stage_pack(rls, dcs, dc_luts, ac_luts,
-                               nb_blocks=tuple(layout.nb_blocks))
+    words, total = _stage_pack(vlc_state, dc_luts, ac_luts)
     scan = _finalize_scan_bytes(words, int(total))
     return _assemble_jpeg(layout, param, qms, tables, scan)
 
