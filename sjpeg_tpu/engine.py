@@ -225,16 +225,22 @@ def encode_batch_core(rgbs, iquant, ibias, dc_luts, ac_luts, *,
 
 def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
                  bits_per_pixel_budget: float = 4.0):
-    """Encode a uint8 batch [B, H, W, 3] on the fixed-table path.
+    """Encode a uint8 batch [B, H, W, 3] with one device program and one
+    bulk result fetch per stage; use this (not per-image calls) when
+    throughput matters.  Returns a list of complete JPEG byte strings.
 
-    Returns a list of complete JPEG byte strings.  The whole batch is one
-    device program and one bulk fetch; use this (not per-image calls) when
-    throughput matters.
+    Fixed-table methods (0/3-off) run fully fused.  With Huffman
+    optimization and/or adaptive quantization enabled, the batch shares
+    one optimized table set / tuned quant matrices derived from the
+    *whole batch's* statistics — a deliberate, documented deviation from
+    per-image optimization (SURVEY §7.3 knob): streams stay valid baseline
+    JPEG at near-identical rate, while the host-side table build stays
+    O(1) per batch.  Set `param.passes` <= 1.
     """
     param = param or EncoderParam()
     flags = method_flags(param.method)
-    assert not flags["use_adaptive_quant"] and not flags["optimize_size"], \
-        "encode_batch currently supports the fixed-table path"
+    if flags["use_adaptive_quant"] or flags["optimize_size"]:
+        return _encode_batch_optimized(rgbs, param, bits_per_pixel_budget)
     b, h, w = rgbs.shape[:3]
     yuv_mode = param.yuv_mode
     if yuv_mode in (C.YUV_AUTO, C.YUV_SHARP):
@@ -272,6 +278,121 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
             scan = _finalize_scan_bytes(wi, int(ti))
         else:
             scan = _finalize_scan_bytes(words_np[i], total_bits)
+        out.append(_assemble_jpeg(layout, param, qms, tables, scan))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
+                                             "with_histo"))
+def _stage_batch_coeffs(rgbs, yuv_mode: int, width: int, height: int,
+                        with_histo: bool):
+    """Batched RGB -> interleavable coefficients (+ batch-summed histos)."""
+    blocks = colorspace.rgb_to_blocks(rgbs, yuv_mode, width, height)
+    coeffs = [fdct.fdct_blocks(b) for b in blocks]
+    if not with_histo:
+        return coeffs, None
+    histo_l = quantize.store_histo(coeffs[0])
+    if len(coeffs) > 1:
+        histo_c = (quantize.store_histo(coeffs[1])
+                   + quantize.store_histo(coeffs[2]))
+    else:
+        histo_c = jnp.zeros_like(histo_l)
+    return coeffs, (histo_l, histo_c)
+
+
+@functools.partial(jax.jit, static_argnames=("with_stats", "nb_blocks",
+                                             "n_images"))
+def _stage_batch_quantize(coeffs, iquant, ibias, with_stats: bool,
+                          nb_blocks, n_images: int):
+    rl, dc_codes, group = _interleave_quantized(coeffs, iquant, ibias,
+                                                nb_blocks, n_images)
+    if not with_stats:
+        return (rl, dc_codes, group), None
+    return (rl, dc_codes, group), _grouped_stats(rl, dc_codes, group)
+
+
+@functools.partial(jax.jit, static_argnames=("n_images", "bucket"))
+def _stage_batch_pack(vlc_state, dc_luts, ac_luts, n_images: int,
+                      bucket: int):
+    rl, dc_codes, group = vlc_state
+    if jax.default_backend() != "cpu":
+        from .ops import pallas_concat, pallas_vlc_pack
+        words, bit_lens = pallas_vlc_pack.vlc_pack_pallas(
+            rl["run"], rl["size"], rl["code"], dc_codes, group,
+            dc_luts, ac_luts)
+        return pallas_concat.concat_block_streams_pallas(
+            words, bit_lens, n_images=n_images, bucket=bucket)
+    vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts,
+                                           ac_luts, group)
+    words, bit_lens = pack.pack_block_entries(vals, lens)
+    return pack.concat_block_streams_batched(words, bit_lens, n_images,
+                                             bucket)
+
+
+def _encode_batch_optimized(rgbs, param: EncoderParam,
+                            bits_per_pixel_budget: float):
+    """Batched two-pass Huffman / adaptive-quant encode with statistics
+    shared across the batch (one table set + one tuned matrix pair)."""
+    flags = method_flags(param.method)
+    if flags["use_trellis"]:
+        raise NotImplementedError(
+            "trellis is not supported in batched mode; encode per image")
+    b, h, w = rgbs.shape[:3]
+    yuv_mode = param.yuv_mode
+    if yuv_mode in (C.YUV_AUTO, C.YUV_SHARP):
+        yuv_mode = C.YUV_420
+    layout = pipeline.component_layout(yuv_mode, w, h)
+    qmats = param.resolved_quant_matrices().copy()
+    min_qmats = param.resolved_min_quant_matrices()
+    qms = [spec.finalize_quant_matrix(qmats[i], min_qmats[i],
+                                      param.quantization_bias)
+           for i in range(2)]
+
+    coeffs, histos = _stage_batch_coeffs(
+        jnp.asarray(rgbs), yuv_mode=yuv_mode, width=w, height=h,
+        with_histo=flags["use_adaptive_quant"])
+    if flags["use_adaptive_quant"]:
+        n_groups = 2 if layout.nb_comps > 1 else 1
+        group_histos = [np.asarray(histos[0]), np.asarray(histos[1])]
+        for g in range(n_groups - 1, -1, -1):
+            qdelta_max = (param.qdelta_max_luma if g == 0
+                          else param.qdelta_max_chroma)
+            tuned = analyse_histo(group_histos[g].astype(np.int64),
+                                  qms[g]["quant"], min_qmats[g], qdelta_max)
+            qms[g] = spec.finalize_quant_matrix(tuned, min_qmats[g],
+                                                param.quantization_bias)
+
+    iq, ib = _quant_device_arrays(qms)
+    vlc_state, freqs = _stage_batch_quantize(
+        coeffs, iq, ib, with_stats=flags["optimize_size"],
+        nb_blocks=tuple(layout.nb_blocks), n_images=b)
+
+    if flags["optimize_size"]:
+        n_groups = 2 if layout.nb_comps > 1 else 1
+        tables = optimal_tables_from_freqs(
+            np.asarray(freqs[0]).astype(np.int64),
+            np.asarray(freqs[1]).astype(np.int64), n_groups)
+        if n_groups == 1:
+            defaults = k3_default_tables()
+            tables[1], tables[3] = defaults[1], defaults[3]
+    else:
+        tables = k3_default_tables()
+    dc_luts, ac_luts = _device_luts(tables)
+
+    n_blocks_img = layout.mb_w * layout.mb_h * sum(layout.nb_blocks)
+    bucket = int(min(n_blocks_img * pack.WORDS_PER_BLOCK,
+                     max(4096, w * h * bits_per_pixel_budget / 32)))
+    words, totals = _stage_batch_pack(vlc_state, dc_luts, ac_luts,
+                                      n_images=b, bucket=bucket)
+    totals_np = np.asarray(totals)
+    words_np = np.asarray(words)
+
+    out = []
+    for i in range(b):
+        total_bits = int(totals_np[i])
+        assert total_bits <= bucket * 32, \
+            "bucket overflow; raise bits_per_pixel_budget"
+        scan = _finalize_scan_bytes(words_np[i], total_bits)
         out.append(_assemble_jpeg(layout, param, qms, tables, scan))
     return out
 

@@ -243,3 +243,20 @@ def test_pallas_concat_matches_xla_interpret(rng):
         nw = (int(wt[b]) + 31) // 32
         np.testing.assert_array_equal(np.asarray(got)[b, :nw],
                                       np.asarray(want)[b, :nw])
+
+
+def test_encode_batch_optimized_shared_stats(rng):
+    """Batched two-pass Huffman + adaptive encode (shared statistics):
+    streams stay valid JPEG and rate stays close to per-image encoding."""
+    import io
+    from PIL import Image
+    from sjpeg_tpu import host_encode_rgb
+    from sjpeg_tpu.engine import encode_batch
+    imgs = rng.randint(0, 256, (3, 48, 32, 3), dtype=np.uint8)
+    p = EncoderParam(quality=80, yuv_mode=C.YUV_420)
+    outs = encode_batch(imgs, p)
+    for i, j in enumerate(outs):
+        dec = np.asarray(Image.open(io.BytesIO(j)).convert("RGB"))
+        assert dec.shape == imgs[i].shape
+        ref = host_encode_rgb(imgs[i], p)       # per-image statistics
+        assert len(j) < len(ref) * 1.15         # shared tables cost < 15%
