@@ -544,6 +544,11 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
     h, w = rgb.shape[:2]
     assert 0 < w <= C.MAX_DIMENSION and 0 < h <= C.MAX_DIMENSION
+    if param.passes > 1 or method_flags(param.method)["use_trellis"]:
+        # multi-pass search and trellis run through the host orchestrator
+        # (device-resident multi-pass replay lands in a later milestone)
+        from . import host_encoder
+        return host_encoder.encode_rgb(rgb, param)
     yuv_mode = param.yuv_mode
     if yuv_mode == C.YUV_AUTO:
         from .riskiness import auto_yuv_mode
@@ -582,6 +587,9 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
 def encode_gray(gray: np.ndarray,
                 param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
+    if param.passes > 1 or method_flags(param.method)["use_trellis"]:
+        from . import host_encoder
+        return host_encoder.encode_gray(gray, param)
     h, w = gray.shape
     layout = pipeline.component_layout(C.YUV_400, w, h)
     dev = (jnp.asarray(gray),)
@@ -596,6 +604,9 @@ def encode_gray(gray: np.ndarray,
 def encode_yuv(y, u, v, is_420: bool,
                param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
+    if param.passes > 1 or method_flags(param.method)["use_trellis"]:
+        from . import host_encoder
+        return host_encoder.encode_yuv(y, u, v, is_420, param)
     h, w = y.shape
     mode = C.YUV_420 if is_420 else C.YUV_444
     layout = pipeline.component_layout(mode, w, h)
