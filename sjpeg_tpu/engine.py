@@ -423,6 +423,132 @@ def _stage_size_bits(vlc_state, dc_luts, ac_luts):
 
 
 @jax.jit
+def _stage_count_stuffing(words, total):
+    """Number of 0xFF bytes among the stream's complete bytes (the
+    BitCounter stuffing model: the trailing partial byte never counts)."""
+    n_bytes = total // 8
+    idx = jnp.arange(words.shape[0] * 4, dtype=jnp.int32)
+    shifts = (24 - 8 * (idx & 3)).astype(jnp.uint32)
+    byte = (jnp.repeat(words, 4) >> shifts) & 0xFF
+    return jnp.sum(((byte == 0xFF) & (idx < n_bytes)).astype(jnp.int32))
+
+
+def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
+    """Target-size / target-PSNR dichotomy over device-resident coeffs.
+
+    Mirrors dichotomy.loop_scan (and the reference LoopScan) with the
+    per-pass quantize/size/PSNR evaluation on device; table builds and the
+    bisection control stay on host.  Byte-identical to the host path.
+    """
+    from .dichotomy import header_size_bits
+    from .params import SearchHook
+    from .tools import estimate_quality
+
+    flags = method_flags(param.method)
+    min_qmats = param.resolved_min_quant_matrices()
+    hook = param.search_hook or SearchHook()
+    initial_q = min(max(estimate_quality(
+        param.resolved_quant_matrices()[0]), 0.0), 100.0)
+    hook.setup(param, initial_q)
+
+    defaults = k3_default_tables()
+    tables = list(defaults)
+    n_groups = 2 if layout.nb_comps > 1 else 1
+    nb_blocks = tuple(layout.nb_blocks)
+    histos_np = (None if histos is None else
+                 [np.asarray(histos[0]).astype(np.int64),
+                  np.asarray(histos[1]).astype(np.int64)])
+
+    best = 0.0
+    best_q = 0.0
+    best_result = 0.0
+    last_is_best = False
+    opt_quants = None
+    passes = min(max(param.passes, 1), 20)
+    state = None
+
+    def make_qms():
+        qmats = np.stack([hook.next_matrices()[c] for c in range(2)])
+        qms = [spec.finalize_quant_matrix(qmats[g], min_qmats[g],
+                                          param.quantization_bias)
+               for g in range(2)]
+        if flags["use_adaptive_quant"]:
+            for g in range(n_groups - 1, -1, -1):
+                qdelta_max = (param.qdelta_max_luma if g == 0
+                              else param.qdelta_max_chroma)
+                tuned = analyse_histo(histos_np[g], qms[g]["quant"],
+                                      min_qmats[g], qdelta_max)
+                qms[g] = spec.finalize_quant_matrix(
+                    tuned, min_qmats[g], param.quantization_bias)
+        return qms
+
+    for p in range(passes):
+        hook.pass_count = p
+        qms = make_qms()
+        iq, ib = _quant_device_arrays(qms)
+
+        if hook.for_size:
+            vlc_state, freqs = _stage_quantize(
+                coeffs, iq, ib, with_stats=flags["optimize_size"],
+                nb_blocks=nb_blocks)
+            if flags["optimize_size"]:
+                tables = optimal_tables_from_freqs(
+                    np.asarray(freqs[0]).astype(np.int64),
+                    np.asarray(freqs[1]).astype(np.int64), n_groups)
+                if n_groups == 1:
+                    tables[1], tables[3] = defaults[1], defaults[3]
+            dc_luts, ac_luts = _device_luts(tables)
+            words, total = _stage_pack(vlc_state, dc_luts, ac_luts)
+            stuff = int(_stage_count_stuffing(words, total))
+            bits = (header_size_bits(param, layout.nb_comps, tables)
+                    + int(total) + 8 * stuff)
+            result = float(np.float32(bits / 8.0))
+            state = (words, total, tables, qms)
+        else:
+            quant = jnp.asarray(np.stack([qms[0]["quant"],
+                                          qms[1]["quant"]]).astype(np.int32))
+            err = int(_stage_quant_error(coeffs, iq, ib, quant))
+            from .dichotomy import get_psnr
+            n_blocks = sum(int(co.shape[0]) for co in coeffs)
+            result = get_psnr(err, 64 * n_blocks)
+
+        last_is_best = p == 0 or abs(result - hook.target) < best
+        if last_is_best:
+            opt_quants = [qms[0]["quant"].copy(), qms[1]["quant"].copy()]
+            best = abs(result - hook.target)
+            best_q = hook.q
+            best_result = result
+        if hook.update(result):
+            break
+
+    qms = [spec.finalize_quant_matrix(opt_quants[g], min_qmats[g],
+                                      param.quantization_bias)
+           for g in range(2)]
+    hook.q = best_q
+    hook.value = best_result
+
+    if not hook.for_size or not last_is_best:
+        iq, ib = _quant_device_arrays(qms)
+        vlc_state, freqs = _stage_quantize(
+            coeffs, iq, ib, with_stats=flags["optimize_size"],
+            nb_blocks=nb_blocks)
+        if flags["optimize_size"]:
+            tables = optimal_tables_from_freqs(
+                np.asarray(freqs[0]).astype(np.int64),
+                np.asarray(freqs[1]).astype(np.int64), n_groups)
+            if n_groups == 1:
+                tables[1], tables[3] = defaults[1], defaults[3]
+        dc_luts, ac_luts = _device_luts(tables)
+        words, total = _stage_pack(vlc_state, dc_luts, ac_luts)
+    else:
+        words, total, tables, qms_used = state
+        qms = qms_used
+
+    scan = _finalize_scan_bytes(words, int(total))
+    return _assemble_jpeg(layout, param, qms, tables, scan)
+
+
+@jax.jit
 def _stage_quant_error(coeffs, iquant, ibias, quant):
     """Summed squared quantization error per group pair (PSNR search)."""
     err = jnp.int64(0) if jax.config.jax_enable_x64 else jnp.float32(0)
@@ -473,7 +599,11 @@ def _finalize_scan_bytes(words, total_bits: int) -> bytes:
 def _encode_blocks_device(get_coeffs, layout, param: EncoderParam) -> bytes:
     flags = method_flags(param.method)
     if flags["use_trellis"]:
-        raise NotImplementedError("trellis path lands with M5")
+        raise NotImplementedError("trellis runs via the host orchestrator")
+
+    if param.passes > 1:
+        coeffs, histos = get_coeffs(flags["use_adaptive_quant"])
+        return _encode_search_device(coeffs, histos, layout, param)
 
     qmats = param.resolved_quant_matrices().copy()
     min_qmats = param.resolved_min_quant_matrices()
@@ -544,9 +674,8 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
     h, w = rgb.shape[:2]
     assert 0 < w <= C.MAX_DIMENSION and 0 < h <= C.MAX_DIMENSION
-    if param.passes > 1 or method_flags(param.method)["use_trellis"]:
-        # multi-pass search and trellis run through the host orchestrator
-        # (device-resident multi-pass replay lands in a later milestone)
+    if method_flags(param.method)["use_trellis"]:
+        # trellis runs through the host orchestrator
         from . import host_encoder
         return host_encoder.encode_rgb(rgb, param)
     yuv_mode = param.yuv_mode
@@ -587,7 +716,7 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
 def encode_gray(gray: np.ndarray,
                 param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
-    if param.passes > 1 or method_flags(param.method)["use_trellis"]:
+    if method_flags(param.method)["use_trellis"]:
         from . import host_encoder
         return host_encoder.encode_gray(gray, param)
     h, w = gray.shape
@@ -604,7 +733,7 @@ def encode_gray(gray: np.ndarray,
 def encode_yuv(y, u, v, is_420: bool,
                param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
-    if param.passes > 1 or method_flags(param.method)["use_trellis"]:
+    if method_flags(param.method)["use_trellis"]:
         from . import host_encoder
         return host_encoder.encode_yuv(y, u, v, is_420, param)
     h, w = y.shape
