@@ -65,13 +65,10 @@ def _make_concat_kernel(bucket_rows: int, tiles: int):
             copy.start()
             copy.wait()
 
-        def append(b, carry):
-            bitpos, chunk = carry
-            L = lens_ref[b, 0]
-            w = words_ref[pl.ds(b, 1), :]             # [1, WORDS] uint32
+        def place(w, bitpos, chunk):
+            """Position one block's words at `bitpos` within the window."""
             s = (bitpos & 31).astype(jnp.uint32)
-            local = (bitpos >> 5) - chunk * CHUNK     # word offset in window
-            # bit-phase shift across word boundaries -> [1, WORDS+1]
+            local = (bitpos >> 5) - chunk * CHUNK
             hi = w >> s
             prev = jnp.concatenate(
                 [jnp.zeros((1, 1), jnp.uint32), w[:, :WORDS - 1]], axis=1)
@@ -83,10 +80,23 @@ def _make_concat_kernel(bucket_rows: int, tiles: int):
                 [shifted, tail, jnp.zeros((1, WIN - WORDS - 1), jnp.uint32)],
                 axis=1)                               # [1, WIN]
             placed = pltpu.roll(frame, shift=local, axis=1)
-            placed = jnp.where(lane >= local, placed, jnp.uint32(0))
+            return jnp.where(lane >= local, placed, jnp.uint32(0))
+
+        def append(p, carry):
+            # two blocks per iteration: their combined stream spans at most
+            # 127 + 2*64 + 1 <= 256 window words, so a single crossing check
+            # (and window shift) still suffices
+            bitpos, chunk = carry
+            b = p * 2
+            w1 = words_ref[pl.ds(b, 1), :]            # [1, WORDS] uint32
+            w2 = words_ref[pl.ds(b + 1, 1), :]
+            L1 = lens_ref[b, 0]
+            L2 = lens_ref[b + 1, 0]
+            placed = (place(w1, bitpos, chunk)
+                      | place(w2, bitpos + L1, chunk))
             open_ref[:] = open_ref[:] | placed
 
-            new_bits = bitpos + L
+            new_bits = bitpos + L1 + L2
             crossed = ((new_bits >> 5) - chunk * CHUNK) >= CHUNK
 
             # chunk completion is rare (every ~25 appends at typical rates):
@@ -115,7 +125,7 @@ def _make_concat_kernel(bucket_rows: int, tiles: int):
             return new_bits, new_chunk
 
         bits, chunk = jax.lax.fori_loop(
-            0, TILE, append, (pos_ref[0], chunk_ref[0]))
+            0, TILE // 2, append, (pos_ref[0], chunk_ref[0]))
         pos_ref[0] = bits
         chunk_ref[0] = chunk
 
