@@ -75,7 +75,7 @@ def reference_mpps(rgb, flags):
     return rgb.shape[0] * rgb.shape[1] / dt / 1e6
 
 
-def ours_mpps(rgb, batch=64, reps=6):
+def ours_mpps(rgb, batch=16, reps=6):
     """Our device-path throughput on the fixed-table 4:2:0 q75 config.
 
     Returns (batched_mpps, compute_mpps, jpeg_bytes).
@@ -143,7 +143,9 @@ def verify(jpeg, rgb):
 
 
 def main():
-    rgb = make_image(512, 512)
+    # 1024x1024: large enough that the reference's integer-ms encode timer
+    # has <7% granularity (512x512 encodes in 1-2 ms and quantizes to 2x)
+    rgb = make_image(1024, 1024)
     ref = reference_mpps(rgb, ["-yuv_mode", "1", "-no_adapt", "-no_optim"])
     ours_batched, ours_compute, jpeg = ours_mpps(rgb)
     psnr = verify(jpeg, rgb)
@@ -154,8 +156,8 @@ def main():
         # dev harness reaches the chip through a ~10 MB/s tunnel no real
         # deployment has — `batched_e2e_mpps` includes that tunnel fetch +
         # host assembly and is the lower bound either way)
-        "metric": "baseline 4:2:0 q75 default-Huffman encode, 512x512 x64 "
-                  "batch, Mpixel/s per chip",
+        "metric": "baseline 4:2:0 q75 default-Huffman encode, 1024x1024 "
+                  "x16 batch, Mpixel/s per chip",
         "value": round(ours_compute, 1),
         "unit": "Mpixel/s",
         "vs_baseline": round(ours_compute / ref, 2) if ref else None,

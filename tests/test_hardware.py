@@ -1,0 +1,34 @@
+"""Opt-in real-hardware parity sweep (SJPEG_TEST_TPU=1).
+
+The regular suite runs the device engine on a virtual CPU mesh; this sweep
+exercises the Pallas kernels on the actual chip and asserts byte-parity
+with the host oracle across modes, methods, and edge geometries.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+if not os.environ.get("SJPEG_TEST_TPU"):
+    pytest.skip("set SJPEG_TEST_TPU=1 to run the hardware sweep",
+                allow_module_level=True)
+
+from sjpeg_tpu import constants as C
+from sjpeg_tpu import host_encode_rgb
+from sjpeg_tpu.engine import encode_rgb
+from sjpeg_tpu.params import EncoderParam
+
+from conftest import make_test_image
+
+
+@pytest.mark.parametrize("size", [(64, 64), (97, 65), (129, 17)])
+@pytest.mark.parametrize("mode", [C.YUV_420, C.YUV_444, C.YUV_400])
+@pytest.mark.parametrize("method", [0, 4])
+def test_device_matches_oracle_on_hardware(size, mode, method):
+    w, h = size
+    img = make_test_image(w, h, seed=w * h)
+    p = EncoderParam(quality=75, yuv_mode=mode,
+                     huffman_compress=(method == 4),
+                     adaptive_quantization=(method == 4))
+    assert encode_rgb(img, p) == host_encode_rgb(img, p)
