@@ -22,6 +22,12 @@ def version() -> str:
     return ".".join(map(str, SJPEG_TPU_VERSION))
 
 
+def encode_batch(rgbs, param=None) -> list:
+    """Encode a uint8 image batch [B, H, W, 3] (throughput path)."""
+    from .engine import encode_batch as _eb
+    return _eb(rgbs, param)
+
+
 def encode(rgb, param=None, backend: str = "auto") -> bytes:
     """Encode an RGB uint8 image to baseline JPEG.
 
@@ -34,7 +40,7 @@ def encode(rgb, param=None, backend: str = "auto") -> bytes:
 
 
 __all__ = [
-    "EncoderParam", "SearchHook", "encode", "version",
+    "EncoderParam", "SearchHook", "encode", "encode_batch", "version",
     "host_encode_rgb", "host_encode_gray", "host_encode_yuv",
     "dimensions", "estimate_quality", "find_quantizer", "quant_matrix",
     "YUV_AUTO", "YUV_420", "YUV_SHARP", "YUV_444", "YUV_400",

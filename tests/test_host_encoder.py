@@ -103,3 +103,22 @@ def test_metadata_segments_roundtrip():
     assert out.count(b"ICC_PROFILE") == 2   # 76800 bytes -> 2 chunks
     dims = dimensions(out)
     assert dims == (32, 32, True)
+
+
+def test_psnr_at_matched_size_equals_reference(reference_bin, ppm_dir):
+    """BASELINE promise: PSNR >= sjpeg at matched file size across the
+    quality range.  Streams are byte-identical, so sizes and PSNR match
+    exactly — assert that explicitly over a sweep."""
+    import io
+    from PIL import Image
+    rgb = make_test_image(96, 96, seed=5)
+    ppm = ppm_dir / "rd.ppm"
+    write_ppm(ppm, rgb)
+    for q in (10, 25, 50, 75, 95):
+        ref = reference_encode(reference_bin, ppm, ppm_dir / f"rd{q}.jpg",
+                               "-q", str(q), "-yuv_mode", "1")
+        ours = host_encode_rgb(rgb, _param(4, q, C.YUV_420))
+        assert len(ours) == len(ref)
+        dec_o = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+        dec_r = np.asarray(Image.open(io.BytesIO(ref)).convert("RGB"))
+        np.testing.assert_array_equal(dec_o, dec_r)
