@@ -4,7 +4,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpixel/s", "vs_baseline": N, ...}
 
 Headline config (BASELINE.md config 1): 4:2:0, q=75, default Huffman tables,
-on a 512x512 image, measured per chip.  `value` is our end-to-end throughput
+on a 1024x1024 image batched x16, measured per chip.  `value` is our end-to-end throughput
 with the input resident on device and only the compressed stream fetched
 back — the deployment model for a TPU encode service (the dev-environment
 tunnel to the chip moves bytes at ~10 MB/s, which no co-located host would).
