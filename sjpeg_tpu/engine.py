@@ -329,6 +329,18 @@ def _stage_batch_pack(vlc_state, dc_luts, ac_luts, n_images: int,
                                              bucket)
 
 
+@functools.partial(jax.jit, static_argnames=("per_img",))
+def _slice_vlc_state(vlc_state, i, per_img: int):
+    """Per-image slice of a batched (image-major) VLC state; `i` is traced
+    so every overflow refetch reuses one compiled program."""
+    rl, dc_codes, group = vlc_state
+
+    def sl(x):
+        return jax.lax.dynamic_slice_in_dim(x, i * per_img, per_img, axis=0)
+
+    return ({k: sl(v) for k, v in rl.items()}, sl(dc_codes), sl(group))
+
+
 def _encode_batch_optimized(rgbs, param: EncoderParam,
                             bits_per_pixel_budget: float):
     """Batched two-pass Huffman / adaptive-quant encode with statistics
@@ -387,12 +399,16 @@ def _encode_batch_optimized(rgbs, param: EncoderParam,
     totals_np = np.asarray(totals)
     words_np = np.asarray(words)
 
+    per_img = n_blocks_img
     out = []
     for i in range(b):
         total_bits = int(totals_np[i])
-        assert total_bits <= bucket * 32, \
-            "bucket overflow; raise bits_per_pixel_budget"
-        scan = _finalize_scan_bytes(words_np[i], total_bits)
+        if total_bits > bucket * 32:      # bucket overflow: slow refetch
+            state_i = _slice_vlc_state(vlc_state, jnp.int32(i), per_img)
+            wi, ti = _stage_pack(state_i, dc_luts, ac_luts)
+            scan = _finalize_scan_bytes(wi, int(ti))
+        else:
+            scan = _finalize_scan_bytes(words_np[i], total_bits)
         out.append(_assemble_jpeg(layout, param, qms, tables, scan))
     return out
 
@@ -411,15 +427,6 @@ def fetch_stream(words, total_bits: int) -> np.ndarray:
     bucket = 1 << max(10, (n_words - 1).bit_length() if n_words > 1 else 1)
     bucket = min(bucket, words.shape[0])
     return np.asarray(_slice_words(words, bucket))[:n_words]
-
-
-@jax.jit
-def _stage_size_bits(vlc_state, dc_luts, ac_luts):
-    """Total entropy bit count without packing (for size-target search)."""
-    rl, dc_codes, group = vlc_state
-    vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts, ac_luts,
-                                           group)
-    return jnp.sum(lens)
 
 
 @jax.jit
@@ -498,6 +505,13 @@ def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
                 if n_groups == 1:
                     tables[1], tables[3] = defaults[1], defaults[3]
             dc_luts, ac_luts = _device_luts(tables)
+            # The per-pass size must match the reference's BitCounter
+            # (src/bit_writer.h:157-168, dichotomy.cc:263-270) bit-exactly —
+            # it counts 0xFF stuffing bytes, and the float size feeds the
+            # best-pass comparison — so a count-only (no-pack) evaluation
+            # would change dichotomy decisions.  Packing + counting 0xFF
+            # bytes is the device equivalent of the reference's O(blocks)
+            # BlocksSize replay.
             words, total = _stage_pack(vlc_state, dc_luts, ac_luts)
             stuff = int(_stage_count_stuffing(words, total))
             bits = (header_size_bits(param, layout.nb_comps, tables)
@@ -507,7 +521,8 @@ def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
         else:
             quant = jnp.asarray(np.stack([qms[0]["quant"],
                                           qms[1]["quant"]]).astype(np.int32))
-            err = int(_stage_quant_error(coeffs, iq, ib, quant))
+            err_hi, err_lo = _stage_quant_error(coeffs, iq, ib, quant)
+            err = (int(err_hi) << 32) | int(err_lo)
             from .dichotomy import get_psnr
             n_blocks = sum(int(co.shape[0]) for co in coeffs)
             result = get_psnr(err, 64 * n_blocks)
@@ -550,13 +565,18 @@ def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
 
 @jax.jit
 def _stage_quant_error(coeffs, iquant, ibias, quant):
-    """Summed squared quantization error per group pair (PSNR search)."""
-    err = jnp.int64(0) if jax.config.jax_enable_x64 else jnp.float32(0)
+    """Summed squared quantization error over all components (PSNR search).
+
+    Exact uint64 accumulation without x64: per-block int32 sums folded
+    with carry propagation (reference src/enc.cc:851-863 uses uint64;
+    float32/int32 accumulators diverge from it on large images)."""
+    hi = lo = jnp.uint32(0)
     for c, coef in enumerate(coeffs):
         g = 0 if c == 0 else 1
-        err = err + quantize.quantize_error(coef, iquant[g], ibias[g],
-                                            quant[g]).astype(err.dtype)
-    return err
+        per_block = quantize.quantize_error(coef, iquant[g], ibias[g],
+                                            quant[g])
+        hi, lo = quantize.sum_u64(per_block, hi, lo)
+    return hi, lo
 
 
 # ---------------------------------------------------------------------------

@@ -29,10 +29,13 @@ def quantize_blocks(coeffs, iquant, bias):
 
 
 def quantize_error(coeffs, iquant, bias, quant):
-    """Sum of squared reconstruction error over blocks, in (c >> 4) units.
+    """Per-block sum of squared reconstruction error, in (c >> 4) units.
 
-    Returns a scalar uint64-safe float64/int64 sum for PSNR evaluation
-    (reference src/enc.cc:851-863).
+    Returns [N] int32 exact per-block sums (each coefficient error is
+    <= (2048 + 255)^2 and a block has 64 of them, so the per-block sum
+    fits int32 with margin); the caller folds them into an exact uint64
+    with `sum_u64` for PSNR evaluation (reference src/enc.cc:851-863
+    accumulates into uint64).
     """
     c = jnp.abs(coeffs.astype(jnp.int32))
     t = (c + bias[None, :]).astype(jnp.uint32)
@@ -41,7 +44,33 @@ def quantize_error(coeffs, iquant, bias, quant):
     deq = quant[None, :] * q
     v0 = c >> C.AC_BITS
     err = (v0 - deq) * (v0 - deq)
-    return jnp.sum(err.astype(jnp.int64))
+    return jnp.sum(err, axis=1)
+
+
+def sum_u64(x, hi=None, lo=None):
+    """Exact uint64 sum of nonnegative int32 [N] without x64: pairwise
+    fold with carry propagation in (hi, lo) uint32 halves.  Optional
+    (hi, lo) accumulate a running total across calls.  Returns uint32
+    scalars (hi, lo)."""
+    xlo = x.astype(jnp.uint32)
+    xhi = jnp.zeros_like(xlo)
+    while xlo.shape[0] > 1:
+        n = xlo.shape[0]
+        if n % 2:
+            xlo = jnp.pad(xlo, (0, 1))
+            xhi = jnp.pad(xhi, (0, 1))
+            n += 1
+        h = n // 2
+        s_lo = xlo[:h] + xlo[h:]
+        carry = (s_lo < xlo[:h]).astype(jnp.uint32)
+        xhi = xhi[:h] + xhi[h:] + carry
+        xlo = s_lo
+    shi, slo = xhi[0], xlo[0]
+    if hi is not None:
+        nlo = lo + slo
+        carry = (nlo < lo).astype(jnp.uint32)
+        return hi + shi + carry, nlo
+    return shi, slo
 
 
 def store_histo(coeffs):
