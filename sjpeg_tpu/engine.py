@@ -101,6 +101,36 @@ def _interleave_quantized(coeffs, iquant, ibias, nb_blocks, n_images=1):
     return rl, dc_codes, group
 
 
+def _interleave_coeffs(coeffs, iquant, ibias, nb_blocks, n_images=1):
+    """MCU-interleave raw fDCT coefficients for the fused Pallas kernel
+    (which quantizes in VMEM), plus per-block DC diff codes and table
+    groups.  Only the DC lane is quantized here — the predictor diff
+    (src/enc.cc:482-499) needs the previous block's quantized DC, so it
+    runs on [N]-sized arrays before the kernel."""
+    mcu_blocks = sum(nb_blocks)
+    n_mcu = coeffs[0].shape[0] // nb_blocks[0]
+    cinter = jnp.concatenate(
+        [co.reshape(n_mcu, nb, 64) for co, nb in zip(coeffs, nb_blocks)],
+        axis=1).reshape(-1, 64)
+
+    dc_cols = []
+    for c, (co, nb) in enumerate(zip(coeffs, nb_blocks)):
+        g = 0 if c == 0 else 1
+        dc = co[:, 0].astype(jnp.int32)
+        t = (jnp.abs(dc) + ibias[g, 0]).astype(jnp.uint32)
+        q = ((t * iquant[g, 0].astype(jnp.uint32)) >> C.FP_BITS).astype(
+            jnp.int32) >> C.AC_BITS
+        dcq = jnp.where(dc < 0, -q, q)
+        codes = vlc.dc_diff_codes(dcq, n_images)
+        dc_cols.append(codes.reshape(n_mcu, nb))
+    dc_codes = jnp.concatenate(dc_cols, axis=1).reshape(-1)
+
+    slot_group = np.zeros(mcu_blocks, dtype=np.int32)
+    slot_group[nb_blocks[0]:] = 1 if len(nb_blocks) > 1 else 0
+    group = jnp.tile(jnp.asarray(slot_group), n_mcu)
+    return cinter, dc_codes, group
+
+
 def _grouped_stats(rl, dc_codes, group):
     """Per-table-group symbol frequencies from interleaved VLC fields."""
     nz = rl["nz"]
@@ -137,11 +167,11 @@ def _stage_pack(vlc_state, dc_luts, ac_luts):
     """VLC fields + Huffman LUTs -> compact bit stream (+ total bits)."""
     rl, dc_codes, group = vlc_state
     if jax.default_backend() != "cpu":
-        from .ops import pallas_concat, pallas_vlc_pack
+        from .ops import pallas_tree_concat, pallas_vlc_pack
         words, bit_lens = pallas_vlc_pack.vlc_pack_pallas(
             rl["run"], rl["size"], rl["code"], dc_codes, group,
             dc_luts, ac_luts)
-        out, totals = pallas_concat.concat_block_streams_pallas(
+        out, totals = pallas_tree_concat.concat_block_streams_tree(
             words, bit_lens, n_images=1,
             bucket=words.shape[0] * pack.WORDS_PER_BLOCK)
         return out[0], totals[0]
@@ -168,23 +198,24 @@ def _encode_core_body(rgb, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
     """
     blocks = colorspace.rgb_to_blocks(rgb, yuv_mode, width, height)
     coeffs = [fdct.fdct_blocks(b) for b in blocks]
-    rl, dc_codes, group = _interleave_quantized(coeffs, iquant, ibias,
-                                                nb_blocks, n_images)
 
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
-        from .ops import pallas_vlc_pack
-        words, bit_lens = pallas_vlc_pack.vlc_pack_pallas(
-            rl["run"], rl["size"], rl["code"], dc_codes, group,
-            dc_luts, ac_luts)
+        from .ops import pallas_quant_pack
+        cinter, dc_codes, group = _interleave_coeffs(
+            coeffs, iquant, ibias, nb_blocks, n_images)
+        words, bit_lens = pallas_quant_pack.quant_vlc_pack_pallas(
+            cinter, dc_codes, group, iquant, ibias, dc_luts, ac_luts)
     else:
+        rl, dc_codes, group = _interleave_quantized(coeffs, iquant, ibias,
+                                                    nb_blocks, n_images)
         vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts,
                                                ac_luts, group)
         words, bit_lens = pack.pack_block_entries(vals, lens)
     if bucket is not None:
         if on_tpu:
-            from .ops import pallas_concat
-            return pallas_concat.concat_block_streams_pallas(
+            from .ops import pallas_tree_concat
+            return pallas_tree_concat.concat_block_streams_tree(
                 words, bit_lens, n_images=n_images, bucket=bucket)
         return pack.concat_block_streams_batched(words, bit_lens, n_images,
                                                  bucket)
@@ -316,11 +347,11 @@ def _stage_batch_pack(vlc_state, dc_luts, ac_luts, n_images: int,
                       bucket: int):
     rl, dc_codes, group = vlc_state
     if jax.default_backend() != "cpu":
-        from .ops import pallas_concat, pallas_vlc_pack
+        from .ops import pallas_tree_concat, pallas_vlc_pack
         words, bit_lens = pallas_vlc_pack.vlc_pack_pallas(
             rl["run"], rl["size"], rl["code"], dc_codes, group,
             dc_luts, ac_luts)
-        return pallas_concat.concat_block_streams_pallas(
+        return pallas_tree_concat.concat_block_streams_tree(
             words, bit_lens, n_images=n_images, bucket=bucket)
     vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts,
                                            ac_luts, group)
@@ -703,8 +734,10 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
         from .riskiness import auto_yuv_mode
         yuv_mode = auto_yuv_mode(rgb)
     if yuv_mode == C.YUV_SHARP:
-        from .sharp_yuv import sharp_rgb_to_yuv420
-        y, u, v = sharp_rgb_to_yuv420(rgb)
+        # device-resident sharp conversion (plane-exact vs the host
+        # oracle); the planes feed encode_yuv without leaving the chip
+        from .sharp_yuv_device import sharp_rgb_to_yuv420_device
+        y, u, v = sharp_rgb_to_yuv420_device(rgb)
         return encode_yuv(y, u, v, is_420=True, param=param)
     layout = pipeline.component_layout(yuv_mode, w, h)
     dev_rgb = jnp.asarray(rgb)

@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: fused quantize + zigzag + run/level + VLC + pack.
+
+Extends the VLC+pack kernel (pallas_vlc_pack) all the way back to raw fDCT
+coefficients: one VMEM-resident pass takes interleaved (MCU-order)
+coefficient blocks and produces each block's packed bit buffer + exact bit
+count.  Replaces the XLA quantize / zigzag-gather / cummax run-length
+chain (reference per-block flow: quantize src/enc.cc:598-630, zigzag +
+run/level emission src/enc.cc:882-911) and removes the three [N, 64] int32
+run/size/code intermediates from HBM entirely.
+
+In-kernel stages per [T, 64] tile:
+1. quantize: |c|+bias, 16-bit reciprocal multiply, AC_BITS shift, sign
+   restore; per-row table group selects the luma/chroma rows of the
+   [2, 64] iquant/bias VMEM inputs.
+2. zigzag: one-hot permutation matmul on the MXU (f32 is exact for the
+   12-bit quantized magnitudes; a lane gather would not vectorize).
+3. run/level: bit-length via 4 halving steps, zero-run via a log-step
+   running-maximum scan over lanes.
+4. Huffman lookup + word packing: shared fields_to_words body.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from .pallas_vlc_pack import WORDS, fields_to_words
+
+DEFAULT_TILE = 512
+
+
+@functools.lru_cache(maxsize=1)
+def _zigzag_matrix():
+    """[64, 64] one-hot f32: out[j] = in[ZIGZAG[j]] via in @ P."""
+    p = np.zeros((64, 64), dtype=np.float32)
+    for j, src in enumerate(C.ZIGZAG):
+        p[src, j] = 1.0
+    return p
+
+
+def _calc_log2(v):
+    """Bit length of v for v >= 1 (int32), elementwise (enc.cc:468-480)."""
+    out = jnp.zeros_like(v)
+    x = v
+    for shift in (8, 4, 2, 1):
+        hit = x >= (1 << shift)
+        out = out + jnp.where(hit, shift, 0)
+        x = jnp.where(hit, x >> shift, x)
+    return out + (v > 0).astype(jnp.int32)
+
+
+def _cummax_lanes(x):
+    """Inclusive running maximum along the last (lane) axis, log steps."""
+    lanes = x.shape[-1]
+    zeros = jnp.zeros_like(x)
+    s = 1
+    while s < lanes:
+        shifted = jnp.concatenate([zeros[:, :s], x[:, :-s]], axis=1)
+        x = jnp.maximum(x, shifted)
+        s <<= 1
+    return x
+
+
+def _quant_pack_body(coef, dc_code, group, iquant_ref, ibias_ref,
+                     zz_ref, dc_lut_ref, ac_lut_ref):
+    """coef [T, 64] raster int32 -> (words [T, 64] uint32, total [T, 1])."""
+    T = coef.shape[0]
+    grp0 = group == 0                                    # [T, 1]
+
+    # --- quantize (exact uint32 16-bit reciprocal path) ---
+    iq = jnp.where(grp0, iquant_ref[0:1, :], iquant_ref[1:2, :])
+    ib = jnp.where(grp0, ibias_ref[0:1, :], ibias_ref[1:2, :])
+    mag = jnp.abs(coef)
+    t = (mag + ib).astype(jnp.uint32)
+    q = ((t * iq.astype(jnp.uint32)) >> C.FP_BITS).astype(
+        jnp.int32) >> C.AC_BITS
+    q = jnp.where(coef < 0, -q, q)
+
+    # --- zigzag permutation on the MXU (values <= 2047: f32-exact) ---
+    zz = jnp.dot(q.astype(jnp.float32), zz_ref[:],
+                 preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    # --- run/level fields ---
+    lane64 = jax.lax.broadcasted_iota(jnp.int32, (T, 64), 1)
+    nz = (zz != 0) & (lane64 > 0)
+    m = jnp.abs(zz)
+    size = jnp.where(nz, _calc_log2(jnp.maximum(m, 1)), 0)
+    neg = jnp.where(zz < 0, -1, 0)
+    code = (m ^ neg) & ((1 << size) - 1)
+    prev = _cummax_lanes(jnp.where(nz, lane64, 0))
+    prev_before = jnp.concatenate(
+        [jnp.zeros((T, 1), jnp.int32), prev[:, :-1]], axis=1)
+    run = jnp.where(nz, lane64 - prev_before - 1, 0)
+
+    return fields_to_words(run, size, code, nz, dc_code, group,
+                           dc_lut_ref, ac_lut_ref)
+
+
+def _quant_pack_kernel(coef_ref, dc_ref, group_ref, iquant_ref, ibias_ref,
+                       zz_ref, dc_lut_ref, ac_lut_ref, words_ref,
+                       total_ref):
+    words, total = _quant_pack_body(
+        coef_ref[:], dc_ref[:], group_ref[:], iquant_ref, ibias_ref,
+        zz_ref, dc_lut_ref, ac_lut_ref)
+    words_ref[:] = words
+    total_ref[:] = total
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def quant_vlc_pack_pallas(coeffs, dc_codes, group, iquant2, ibias2,
+                          dc_luts, ac_luts, tile: int = DEFAULT_TILE):
+    """Fused quantize + zigzag + run/level + VLC + pack.
+
+    coeffs: [N, 64] int32 raster-order fDCT coefficients, MCU-interleaved;
+    dc_codes: [N] packed DC size|suffix codes (from the already-quantized
+    DC lane); group: [N] int32 table group per block; iquant2/ibias2
+    [2, 64] int32 (luma/chroma rows); dc_luts [2, 16] / ac_luts [2, 256]
+    uint32 packed (code<<16|len) LUTs.
+    Returns ([N, 64] uint32 words, [N] int32 bit counts).
+    """
+    N = coeffs.shape[0]
+    rem = (-N) % tile
+    if rem:
+        coeffs = jnp.pad(coeffs, ((0, rem), (0, 0)))
+        dc_codes = jnp.pad(dc_codes, (0, rem))
+        group = jnp.pad(group, (0, rem))
+    NP = N + rem
+
+    spec64 = pl.BlockSpec((tile, 64), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    const64 = pl.BlockSpec((2, 64), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    zz_spec = pl.BlockSpec((64, 64), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    lut_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                          memory_space=pltpu.SMEM)
+    words, totals = pl.pallas_call(
+        _quant_pack_kernel,
+        grid=(NP // tile,),
+        in_specs=[spec64, spec1, spec1, const64, const64, zz_spec,
+                  lut_spec((2, 16)), lut_spec((2, 256))],
+        out_specs=(
+            pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NP, WORDS), jnp.uint32),
+            jax.ShapeDtypeStruct((NP, 1), jnp.int32),
+        ),
+    )(coeffs.astype(jnp.int32),
+      dc_codes.reshape(-1, 1).astype(jnp.int32),
+      group.reshape(-1, 1).astype(jnp.int32),
+      iquant2.astype(jnp.int32), ibias2.astype(jnp.int32),
+      jnp.asarray(_zigzag_matrix()),
+      dc_luts.astype(jnp.uint32), ac_luts.astype(jnp.uint32))
+    return words[:N], totals[:N, 0]

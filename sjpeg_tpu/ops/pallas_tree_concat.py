@@ -1,0 +1,224 @@
+"""Pallas TPU kernels: parallel log-tree bitstream concatenation.
+
+Replaces the sequential append concat (pallas_concat) with a fully
+parallel merge tree: level by level, adjacent per-block bit streams are
+merged pairwise until each image is one contiguous stream.  Every level
+is a uniform row-parallel kernel — no sequential grid, no cross-step
+scratch state — so wall time scales with HBM traffic (one read + one
+write of the ~constant-size unit array per level), not with the number
+of blocks.
+
+Layout invariant: a row of the unit array holds 4 consecutive streams in
+its lanes ([u0 u1 u2 u3], each left-aligned in W words with exact bit
+length carried separately).  The kernel merges them into one left-aligned
+stream of 4W words (two pair merges + one final merge); an XLA row-major
+reshape [M, 4W] -> [M/4, 16W] then regroups 4 consecutive merged streams
+per row for the next level.  Merging a stream of L_A bits with one of
+L_B bits: phase-shift B right by L_A mod 32 (per-row broadcast shifts),
+then place at word offset L_A >> 5 with a log-step ladder of static
+`pltpu.roll`s + per-row selects.  Zero-length padding streams merge as
+no-ops, so per-image unit counts are padded to powers of two.
+
+The reference writes its stream strictly serially (src/bit_writer.h
+PutBits / src/enc.cc:1240-1259); this is the TPU-shaped equivalent with
+bit-identical results.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WORDS = 64                   # words per block stream (level-0 unit)
+
+
+def _place(b, la, w):
+    """Shift stream `b` [R, W(=w)] right by `la` bits into a [R, 2W] frame.
+
+    b is left-aligned; returns the frame with b starting at bit la
+    (la <= w * 32).  Static rolls only; `la` is a per-row [R, 1] int32.
+    """
+    R = b.shape[0]
+    s = (la & 31).astype(jnp.uint32)
+    b_prev = jnp.concatenate(
+        [jnp.zeros((R, 1), jnp.uint32), b[:, :-1]], axis=1)
+    inv = jnp.uint32(32) - s
+    hi = b >> s
+    lo = jnp.where(s > 0, b_prev << inv, jnp.uint32(0))
+    tail = jnp.where(s > 0, b[:, -1:] << inv, jnp.uint32(0))
+    frame = jnp.concatenate(
+        [hi | lo, tail, jnp.zeros((R, w - 1), jnp.uint32)], axis=1)
+    o = la >> 5                               # word offset in [0, w]
+
+    # log-step placement ladder as a fori_loop (dynamic roll shifts) so
+    # Mosaic reuses the frame's VMEM slot instead of materializing one
+    # temporary per unrolled step
+    def body(k, f):
+        sh = jnp.int32(1) << k
+        rolled = pltpu.roll(f, shift=sh, axis=1)
+        return jnp.where((o & sh) > 0, rolled, f)
+
+    return jax.lax.fori_loop(0, w.bit_length(), body, frame)
+
+
+def _merge2(x, la, w):
+    """[R, 2w]: left-aligned A in lanes [0,w), B in [w,2w) -> merged."""
+    a = jax.lax.slice_in_dim(x, 0, w, axis=1)
+    b = jax.lax.slice_in_dim(x, w, 2 * w, axis=1)
+    placed = _place(b, la, w)
+    apad = jnp.concatenate([a, jnp.zeros_like(a)], axis=1)
+    return apad | placed
+
+
+def _make_merge4_kernel(w: int):
+    def kernel(units_ref, l0_ref, l2_ref, l01_ref, out_ref):
+        x = units_ref[:]                       # [R, 4w] uint32
+        m0 = _merge2(jax.lax.slice_in_dim(x, 0, 2 * w, axis=1),
+                     l0_ref[:], w)
+        m1 = _merge2(jax.lax.slice_in_dim(x, 2 * w, 4 * w, axis=1),
+                     l2_ref[:], w)
+        y = jnp.concatenate([m0, m1], axis=1)  # [R, 4w]
+        out_ref[:] = _merge2(y, l01_ref[:], 2 * w)
+
+    return kernel
+
+
+def _make_merge2_kernel(w: int):
+    def kernel(units_ref, l0_ref, out_ref):
+        out_ref[:] = _merge2(units_ref[:], l0_ref[:], w)
+
+    return kernel
+
+
+def _merge_level(units, lens, w: int, radix: int):
+    """One tree level: [M, radix*w] rows (+ per-unit lens [M, radix]) ->
+    ([M, radix*w] merged rows, [M] total bits)."""
+    M = units.shape[0]
+    lanes = radix * w
+    # Mosaic block rule: sublane dim divisible by 8, or equal to the
+    # array's. Tile targets ~2 MB; caller stops the tree before lanes
+    # grow past VMEM reach.
+    if M % 8 or M <= 8:
+        R = M
+    else:
+        max_r = max(8, (1 << 19) // (lanes * 4))
+        R = 8
+        while R * 2 <= max_r and M % (R * 2) == 0:
+            R *= 2
+    spec_u = pl.BlockSpec((R, lanes), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_l = pl.BlockSpec((R, 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    if radix == 4:
+        kernel = _make_merge4_kernel(w)
+        l0 = lens[:, 0:1]
+        l2 = lens[:, 2:3]
+        l01 = lens[:, 0:1] + lens[:, 1:2]
+        args = (units, l0, l2, l01)
+        in_specs = [spec_u, spec_l, spec_l, spec_l]
+    else:
+        kernel = _make_merge2_kernel(w)
+        args = (units, lens[:, 0:1])
+        in_specs = [spec_u, spec_l]
+    out = pl.pallas_call(
+        kernel,
+        grid=(M // R,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, lanes), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, lanes), jnp.uint32),
+    )(*args)
+    return out, jnp.sum(lens, axis=1)
+
+
+# Stop growing tree units once a merge tile would leave comfortable VMEM
+# reach; the few remaining wide units per image are placed by the XLA
+# scan finisher below.
+W_STOP = 32768
+
+
+def _finish_units(units, lens, n_images: int, bucket: int):
+    """Place the per-image unit sequences at their exact bit offsets.
+
+    units: [M, W] uint32 left-aligned (zero beyond each unit's content),
+    lens: [M] bits, M = n_images * k image-major.  A lax.scan of
+    dynamic-update-slices writes each unit's phase-shifted segment at its
+    word offset (in-place on the donated carry); the straddling boundary
+    word is composed by OR-ing with the already-written prefix, which is
+    zero beyond the previous unit's content."""
+    M, W = units.shape
+    k = M // n_images
+    l2 = lens.reshape(n_images, k)
+    off = jnp.cumsum(l2, axis=1) - l2              # exclusive bit offsets
+    totals = jnp.sum(l2, axis=1)
+
+    s = (off.reshape(-1, 1) & 31).astype(jnp.uint32)
+    prev = jnp.concatenate(
+        [jnp.zeros((M, 1), jnp.uint32), units[:, :-1]], axis=1)
+    inv = jnp.uint32(32) - s
+    hi = units >> s
+    lo = jnp.where(s > 0, prev << inv, jnp.uint32(0))
+    tail = jnp.where(s > 0, units[:, -1:] << inv, jnp.uint32(0))
+    shifted = jnp.concatenate([hi | lo, tail], axis=1)   # [M, W + 1]
+
+    cap = max(bucket, 128)
+    out0 = jnp.zeros((n_images, cap + W + 1), jnp.uint32)
+    img_ids = jnp.repeat(jnp.arange(n_images, dtype=jnp.int32), k)
+    wo = jnp.minimum(off.reshape(-1) >> 5, cap)    # clamp overflow writes
+
+    def body(out, x):
+        img, o, seg = x
+        cur = jax.lax.dynamic_slice(out, (img, o), (1, W + 1))
+        out = jax.lax.dynamic_update_slice(out, cur | seg[None, :],
+                                           (img, o))
+        return out, None
+
+    out, _ = jax.lax.scan(body, out0, (img_ids, wo, shifted))
+    return out[:, :bucket], totals.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_images", "bucket"))
+def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int):
+    """[N, WORDS] uint32 + [N] int32 -> ([n_images, bucket] uint32,
+    [n_images] int32 total bits).  N is image-major; per-image block
+    counts are padded to a power of two with zero-length streams."""
+    N, W = words.shape
+    assert W == WORDS
+    per_img = N // n_images
+    u = 1 << max(per_img - 1, 1).bit_length()       # pow2 >= per_img
+    if u < per_img:
+        u <<= 1
+    pad = u - per_img
+    if pad:
+        words = jnp.pad(words.reshape(n_images, per_img, W),
+                        ((0, 0), (0, pad), (0, 0))).reshape(-1, W)
+        bit_lens = jnp.pad(bit_lens.reshape(n_images, per_img),
+                           ((0, 0), (0, pad))).reshape(-1)
+
+    units = words
+    lens = bit_lens.astype(jnp.int32)
+    w = W
+    n_units = n_images * u
+    while n_units > n_images and w < W_STOP:
+        per = n_units // n_images                    # units per image
+        radix = (4 if per % 4 == 0 and per >= 4 and w * 4 <= W_STOP
+                 else 2)
+        rows = n_units // radix
+        units = units.reshape(rows, radix * w)
+        lens = lens.reshape(rows, radix)
+        units, lens_row = _merge_level(units, lens, w, radix)
+        w *= radix
+        n_units = rows
+        lens = lens_row.reshape(-1)
+
+    if n_units == n_images:
+        totals = lens.reshape(n_images)
+        out = units.reshape(n_images, w)
+        if w < bucket:
+            out = jnp.pad(out, ((0, 0), (0, bucket - w)))
+        return out[:, :bucket], totals.astype(jnp.int32)
+    return _finish_units(units.reshape(-1, w), lens.reshape(-1),
+                         n_images, bucket)

@@ -49,14 +49,24 @@ def _vlc_pack_body(run, size, code, dc_code, group, ac_scalar_src_dc,
     `ac_scalar_src_dc`/`ac_scalar_src_ac` are indexable [2, K] sources of
     LUT scalars (pallas Refs in the kernel, arrays in tests).
     """
-    dc_lut_ref = ac_scalar_src_dc
-    ac_lut_ref = ac_scalar_src_ac
+    T = run.shape[0]
+    lane64 = jax.lax.broadcasted_iota(jnp.int32, (T, 64), 1)
+    nz = (size > 0) & (lane64 > 0)
+    return fields_to_words(run, size, code, nz, dc_code, group,
+                           ac_scalar_src_dc, ac_scalar_src_ac)
+
+
+def fields_to_words(run, size, code, nz, dc_code, group, dc_lut_ref,
+                    ac_lut_ref):
+    """VLC fields -> per-block packed words: the core shared by the
+    rl-input kernel and the fused coeff-input kernel (pallas_quant_pack).
+
+    run/size/code/nz: [T, 64] zigzag-order fields; dc_code/group: [T, 1].
+    """
     T = run.shape[0]
     code = code.astype(jnp.uint32)
     grp0 = group == 0                      # [T, 1] bool
-
     lane64 = jax.lax.broadcasted_iota(jnp.int32, (T, 64), 1)
-    nz = (size > 0) & (lane64 > 0)
 
     # ---- Huffman lookups: masked accumulation over the symbol domain ----
     # masks are disjoint (sym == k), so OR composes the selects exactly;

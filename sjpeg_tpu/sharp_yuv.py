@@ -10,8 +10,8 @@ src/yuv_convert.cc (SFIX/TFIX precision :32-37, gamma tables :113-153,
 chroma downscale :449-466, 4-iteration loop with divergence exit :581-668,
 final NN-chroma reconstruction :544-576, small-image fallback :675-696).
 
-This host implementation is the oracle; the device path runs the same
-arithmetic as vectorized JAX ops (it is pure elementwise/LUT work).
+This NumPy implementation is the host oracle; `sharp_yuv_device.py`
+runs the same arithmetic on the accelerator (plane-exact, tested).
 """
 
 import functools

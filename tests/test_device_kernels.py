@@ -260,3 +260,100 @@ def test_encode_batch_optimized_shared_stats(rng):
         assert dec.shape == imgs[i].shape
         ref = host_encode_rgb(imgs[i], p)       # per-image statistics
         assert len(j) < len(ref) * 1.15         # shared tables cost < 15%
+
+
+def test_pallas_quant_pack_matches_xla_interpret(rng):
+    """Fused quantize+zigzag+run/level+VLC+pack kernel (interpret mode)
+    vs the XLA formulation, over mixed-group interleaved blocks."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.engine import (_device_luts, _interleave_coeffs,
+                                  _interleave_quantized,
+                                  _quant_device_arrays)
+    from sjpeg_tpu.huffman import k3_default_tables
+    from sjpeg_tpu.ops import pallas_quant_pack as pqp
+
+    n_mcu, nb = 12, (4, 1, 1)
+    from sjpeg_tpu.params import quant_matrices_for_quality
+    qmats = quant_matrices_for_quality(75.0)
+    qm = [spec.finalize_quant_matrix(qmats[i], np.ones(64, np.uint8),
+                                     C.DEFAULT_BIAS) for i in range(2)]
+    iq, ib = _quant_device_arrays(qm)
+    dc_luts, ac_luts = _device_luts(k3_default_tables())
+
+    # realistic + extreme coefficients (x16-scaled int16 range)
+    coeffs = []
+    for c, n in enumerate(nb):
+        co = rng.randint(-3000, 3000, (n_mcu * n, 64))
+        co[rng.rand(*co.shape) < 0.7] = 0
+        co[0, :] = 32767            # extreme magnitudes
+        co[-1, 1] = -32768
+        coeffs.append(jnp.asarray(co.astype(np.int32)))
+
+    rl, dc_codes, group = _interleave_quantized(coeffs, iq, ib, nb)
+    from sjpeg_tpu.ops import vlc as vlc_mod
+    vals, lens = vlc_mod.block_entries_grouped(rl, dc_codes, dc_luts,
+                                               ac_luts, group)
+    want_w, want_t = pack.pack_block_entries(vals, lens)
+
+    cinter, dc2, group2 = _interleave_coeffs(coeffs, iq, ib, nb)
+    np.testing.assert_array_equal(np.asarray(dc2), np.asarray(dc_codes))
+    np.testing.assert_array_equal(np.asarray(group2), np.asarray(group))
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        got_w, got_t = pqp.quant_vlc_pack_pallas.__wrapped__(
+            cinter, dc2, group2, iq, ib, dc_luts, ac_luts, tile=24)
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    for n in range(cinter.shape[0]):
+        nw = (int(want_t[n]) + 31) // 32
+        np.testing.assert_array_equal(np.asarray(got_w)[n, :nw],
+                                      np.asarray(want_w)[n, :nw])
+
+
+def test_pallas_tree_concat_matches_xla_interpret(rng):
+    """Parallel log-tree concat (interpret mode) vs the XLA formulation,
+    incl. non-pow2 per-image block counts and zero-length blocks."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.ops import pallas_tree_concat as ptc
+    n_images, per_img = 2, 700
+    N = n_images * per_img
+    lens = rng.randint(0, 300, N).astype(np.int32)
+    lens[rng.rand(N) < 0.1] = 0
+    words = np.zeros((N, 64), np.uint32)
+    for n in range(N):
+        L = int(lens[n])
+        for j in range((L + 31) // 32):
+            bits = min(32, L - 32 * j)
+            w = (rng.randint(0, 1 << bits) << (32 - bits)
+                 if bits < 32 else rng.randint(0, 1 << 32))
+            words[n, j] = w
+    bucket = 8192
+    want, wt = pack.concat_block_streams_batched(
+        jnp.asarray(words), jnp.asarray(lens), n_images, bucket)
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        got, gt = ptc.concat_block_streams_tree.__wrapped__(
+            jnp.asarray(words), jnp.asarray(lens), n_images=n_images,
+            bucket=bucket)
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(gt), np.asarray(wt))
+    for b in range(n_images):
+        nw = (int(wt[b]) + 31) // 32
+        np.testing.assert_array_equal(np.asarray(got)[b, :nw],
+                                      np.asarray(want)[b, :nw])

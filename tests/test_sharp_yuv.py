@@ -82,3 +82,32 @@ def test_sharp_encode_byte_exact(reference_bin, ppm_dir, size, method):
                      huffman_compress=(method == 4),
                      adaptive_quantization=(method == 4))
     assert host_encode_rgb(rgb, p) == ref
+
+
+def test_device_sharp_matches_oracle():
+    """JAX sharp conversion is plane-exact vs the NumPy oracle."""
+    import numpy as np
+    from sjpeg_tpu.sharp_yuv import sharp_rgb_to_yuv420
+    from sjpeg_tpu.sharp_yuv_device import sharp_rgb_to_yuv420_device
+    rng = np.random.RandomState(11)
+    for (h, w) in [(64, 64), (97, 65), (33, 48), (4, 10), (128, 96)]:
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        yo, uo, vo = sharp_rgb_to_yuv420(rgb)
+        yd, ud, vd = [np.asarray(x)
+                      for x in sharp_rgb_to_yuv420_device(rgb)]
+        np.testing.assert_array_equal(yd, yo)
+        np.testing.assert_array_equal(ud, uo)
+        np.testing.assert_array_equal(vd, vo)
+
+
+def test_device_sharp_encode_end_to_end():
+    """encode_rgb(SHARP) through the device engine = host oracle bytes."""
+    import numpy as np
+    from sjpeg_tpu import constants as C
+    from sjpeg_tpu import host_encode_rgb
+    from sjpeg_tpu.engine import encode_rgb
+    from sjpeg_tpu.params import EncoderParam
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (56, 40, 3), dtype=np.uint8)
+    p = EncoderParam(quality=80, yuv_mode=C.YUV_SHARP)
+    assert encode_rgb(rgb, p) == host_encode_rgb(rgb, p)
