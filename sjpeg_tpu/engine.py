@@ -72,12 +72,29 @@ def _stage_coeffs_planes(planes, yuv_mode: int, width: int, height: int,
     return coeffs, (histo_l, histo_c)
 
 
+def _per_image_quantize(coef, iq_g, ib_g, n_images):
+    """Quantize one component with per-image [B, 64] iquant/bias rows."""
+    c3 = coef.reshape(n_images, -1, 64).astype(jnp.int32)
+    mag = jnp.abs(c3)
+    t = (mag + ib_g[:, None, :]).astype(jnp.uint32)
+    q = ((t * iq_g[:, None, :].astype(jnp.uint32)) >> C.FP_BITS).astype(
+        jnp.int32) >> C.AC_BITS
+    return jnp.where(c3 < 0, -q, q).reshape(-1, 64)
+
+
 def _interleave_quantized(coeffs, iquant, ibias, nb_blocks, n_images=1):
     """Quantize per component, interleave into MCU order at the [N, 64]
-    level, and derive zigzag VLC fields + DC codes + per-row table group."""
-    qbs = [quantize.quantize_blocks(coef, iquant[0 if c == 0 else 1],
-                                    ibias[0 if c == 0 else 1])
-           for c, coef in enumerate(coeffs)]
+    level, and derive zigzag VLC fields + DC codes + per-row table group.
+
+    iquant/ibias: [2, 64] shared, or [B, 2, 64] per-image matrices."""
+    if iquant.ndim == 3:
+        qbs = [_per_image_quantize(coef, iquant[:, 0 if c == 0 else 1],
+                                   ibias[:, 0 if c == 0 else 1], n_images)
+               for c, coef in enumerate(coeffs)]
+    else:
+        qbs = [quantize.quantize_blocks(coef, iquant[0 if c == 0 else 1],
+                                        ibias[0 if c == 0 else 1])
+               for c, coef in enumerate(coeffs)]
     mcu_blocks = sum(nb_blocks)
     n_mcu = qbs[0].shape[0] // nb_blocks[0]
     qinter = jnp.concatenate(
@@ -131,24 +148,33 @@ def _interleave_coeffs(coeffs, iquant, ibias, nb_blocks, n_images=1):
     return cinter, dc_codes, group
 
 
-def _grouped_stats(rl, dc_codes, group):
-    """Per-table-group symbol frequencies from interleaved VLC fields."""
+def _grouped_stats(rl, dc_codes, group, n_images: int = 1):
+    """Per-table-group symbol frequencies from interleaved VLC fields.
+
+    With n_images > 1 (rows image-major, equal blocks per image) the
+    statistics segment per image: returns ([B, 2, 12], [B, 2, 256])."""
     nz = rl["nz"]
+    n = nz.shape[0]
+    per_img = n // n_images
+    img = jnp.arange(n, dtype=jnp.int32) // per_img
+    g2 = img * 2 + group                                   # [N] set index
+    n_sets = 2 * n_images
     sym = ((rl["run"] & 15) << 4) | rl["size"]
-    sym = jnp.where(nz, group[:, None] * 257 + sym, 2 * 257)
-    freq_ac2 = jnp.zeros(2 * 257 + 1, dtype=jnp.int32)
+    sym = jnp.where(nz, g2[:, None] * 257 + sym, n_sets * 257)
+    freq_ac2 = jnp.zeros(n_sets * 257 + 1, dtype=jnp.int32)
     freq_ac2 = freq_ac2.at[sym.reshape(-1)].add(1)
     esc = jnp.where(nz, rl["run"] >> 4, 0).sum(axis=1)
     eobs = (rl["last"] < 63).astype(jnp.int32)
-    freq_ac = freq_ac2[: 2 * 257].reshape(2, 257)[:, :256]
-    for g in range(2):
-        mask = group == g
-        freq_ac = freq_ac.at[g, 0xF0].add(jnp.sum(jnp.where(mask, esc, 0)))
-        freq_ac = freq_ac.at[g, 0x00].add(jnp.sum(jnp.where(mask, eobs, 0)))
-    dc_idx = group * 13 + (dc_codes & 0x0F)
-    freq_dc2 = jnp.zeros(2 * 13, dtype=jnp.int32).at[dc_idx].add(1)
-    freq_dc = freq_dc2.reshape(2, 13)[:, :12]
-    return freq_dc, freq_ac
+    freq_ac2 = freq_ac2.at[g2 * 257 + 0xF0].add(esc)
+    freq_ac2 = freq_ac2.at[g2 * 257 + 0x00].add(eobs)
+    freq_ac = freq_ac2[: n_sets * 257].reshape(n_sets, 257)[:, :256]
+    dc_idx = g2 * 13 + (dc_codes & 0x0F)
+    freq_dc2 = jnp.zeros(n_sets * 13, dtype=jnp.int32).at[dc_idx].add(1)
+    freq_dc = freq_dc2.reshape(n_sets, 13)[:, :12]
+    if n_images == 1:
+        return freq_dc, freq_ac
+    return (freq_dc.reshape(n_images, 2, 12),
+            freq_ac.reshape(n_images, 2, 256))
 
 
 @functools.partial(jax.jit, static_argnames=("with_stats", "nb_blocks"))
@@ -255,23 +281,27 @@ def encode_batch_core(rgbs, iquant, ibias, dc_luts, ac_luts, *,
 
 
 def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
-                 bits_per_pixel_budget: float = 4.0):
+                 bits_per_pixel_budget: float = 4.0,
+                 share_statistics: bool = False):
     """Encode a uint8 batch [B, H, W, 3] with one device program and one
     bulk result fetch per stage; use this (not per-image calls) when
     throughput matters.  Returns a list of complete JPEG byte strings.
 
     Fixed-table methods (0/3-off) run fully fused.  With Huffman
-    optimization and/or adaptive quantization enabled, the batch shares
-    one optimized table set / tuned quant matrices derived from the
-    *whole batch's* statistics — a deliberate, documented deviation from
-    per-image optimization (SURVEY §7.3 knob): streams stay valid baseline
-    JPEG at near-identical rate, while the host-side table build stays
-    O(1) per batch.  Set `param.passes` <= 1.
+    optimization and/or adaptive quantization enabled, the default is
+    reference-parity per-image optimization (per-image adaptive matrices
+    and per-image optimal Huffman tables; byte-identical to per-image
+    encode_rgb, src/enc.cc:1517-1580).  share_statistics=True instead
+    derives ONE table set / tuned matrix pair from the whole batch's
+    statistics — a deliberate deviation knob (SURVEY §7.3): streams stay
+    valid baseline JPEG at near-identical rate while the host table
+    build stays O(1) per batch.  Set `param.passes` <= 1.
     """
     param = param or EncoderParam()
     flags = method_flags(param.method)
     if flags["use_adaptive_quant"] or flags["optimize_size"]:
-        return _encode_batch_optimized(rgbs, param, bits_per_pixel_budget)
+        return _encode_batch_optimized(rgbs, param, bits_per_pixel_budget,
+                                       share_statistics=share_statistics)
     b, h, w = rgbs.shape[:3]
     yuv_mode = param.yuv_mode
     if yuv_mode in (C.YUV_AUTO, C.YUV_SHARP):
@@ -314,45 +344,87 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
 
 
 @functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
-                                             "with_histo"))
+                                             "with_histo", "n_images"))
 def _stage_batch_coeffs(rgbs, yuv_mode: int, width: int, height: int,
-                        with_histo: bool):
-    """Batched RGB -> interleavable coefficients (+ batch-summed histos)."""
+                        with_histo: bool, n_images: int = 1):
+    """Batched RGB -> interleavable coefficients (+ per-image histograms
+    when n_images > 1, else batch-summed)."""
     blocks = colorspace.rgb_to_blocks(rgbs, yuv_mode, width, height)
     coeffs = [fdct.fdct_blocks(b) for b in blocks]
     if not with_histo:
         return coeffs, None
-    histo_l = quantize.store_histo(coeffs[0])
+    histo_l = quantize.store_histo(coeffs[0], n_images)
     if len(coeffs) > 1:
-        histo_c = (quantize.store_histo(coeffs[1])
-                   + quantize.store_histo(coeffs[2]))
+        histo_c = (quantize.store_histo(coeffs[1], n_images)
+                   + quantize.store_histo(coeffs[2], n_images))
     else:
         histo_c = jnp.zeros_like(histo_l)
     return coeffs, (histo_l, histo_c)
 
 
 @functools.partial(jax.jit, static_argnames=("with_stats", "nb_blocks",
-                                             "n_images"))
+                                             "n_images", "per_image_stats"))
 def _stage_batch_quantize(coeffs, iquant, ibias, with_stats: bool,
-                          nb_blocks, n_images: int):
+                          nb_blocks, n_images: int,
+                          per_image_stats: bool = False):
     rl, dc_codes, group = _interleave_quantized(coeffs, iquant, ibias,
                                                 nb_blocks, n_images)
     if not with_stats:
         return (rl, dc_codes, group), None
-    return (rl, dc_codes, group), _grouped_stats(rl, dc_codes, group)
+    return (rl, dc_codes, group), _grouped_stats(
+        rl, dc_codes, group, n_images if per_image_stats else 1)
 
 
-@functools.partial(jax.jit, static_argnames=("n_images", "bucket"))
+@functools.partial(jax.jit, static_argnames=("n_images", "bucket",
+                                             "per_image_tables"))
 def _stage_batch_pack(vlc_state, dc_luts, ac_luts, n_images: int,
-                      bucket: int):
+                      bucket: int, per_image_tables: bool = False):
+    """Batched VLC+pack+concat.  With per_image_tables, dc_luts/ac_luts
+    are [B, 2, ...] per-image Huffman LUT sets (reference semantics:
+    src/enc.cc:1517-1580 optimizes tables per image)."""
     rl, dc_codes, group = vlc_state
     if jax.default_backend() != "cpu":
         from .ops import pallas_tree_concat, pallas_vlc_pack
+        if per_image_tables:
+            tile = pallas_vlc_pack.DEFAULT_TILE
+            N = group.shape[0]
+            per_img = N // n_images
+            padded = -(-per_img // tile) * tile
+            pad = padded - per_img
+
+            def padrows(x):
+                if not pad:
+                    return x
+                x2 = x.reshape((n_images, per_img) + x.shape[1:])
+                cfg = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x2, cfg).reshape((-1,) + x.shape[1:])
+
+            words, bit_lens = pallas_vlc_pack.vlc_pack_pallas(
+                padrows(rl["run"]), padrows(rl["size"]),
+                padrows(rl["code"]), padrows(dc_codes), padrows(group),
+                dc_luts, ac_luts, tiles_per_img=padded // tile)
+            if pad:
+                # pad rows still emit DC+EOB codes; zero them so the
+                # concat's left-aligned-content invariant holds
+                valid = (jnp.arange(padded, dtype=jnp.int32)
+                         < per_img)
+                valid = jnp.tile(valid, n_images)
+                bit_lens = jnp.where(valid, bit_lens, 0)
+                words = jnp.where(valid[:, None], words, 0)
+            return pallas_tree_concat.concat_block_streams_tree(
+                words, bit_lens, n_images=n_images, bucket=bucket)
         words, bit_lens = pallas_vlc_pack.vlc_pack_pallas(
             rl["run"], rl["size"], rl["code"], dc_codes, group,
             dc_luts, ac_luts)
         return pallas_tree_concat.concat_block_streams_tree(
             words, bit_lens, n_images=n_images, bucket=bucket)
+    if per_image_tables:
+        N = group.shape[0]
+        per_img = N // n_images
+        img = jnp.arange(N, dtype=jnp.int32) // per_img
+        group = img * 2 + group
+        dc_luts = dc_luts.reshape(-1, dc_luts.shape[-1])
+        ac_luts = ac_luts.reshape(-1, ac_luts.shape[-1])
     vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts,
                                            ac_luts, group)
     words, bit_lens = pack.pack_block_entries(vals, lens)
@@ -373,9 +445,16 @@ def _slice_vlc_state(vlc_state, i, per_img: int):
 
 
 def _encode_batch_optimized(rgbs, param: EncoderParam,
-                            bits_per_pixel_budget: float):
-    """Batched two-pass Huffman / adaptive-quant encode with statistics
-    shared across the batch (one table set + one tuned matrix pair)."""
+                            bits_per_pixel_budget: float,
+                            share_statistics: bool = False):
+    """Batched two-pass Huffman / adaptive-quant encode.
+
+    Default is reference-parity per-image optimization (per-image
+    adaptive matrices + per-image optimal Huffman tables; byte-identical
+    to per-image encode_rgb, src/enc.cc:1517-1580).  share_statistics=True
+    derives ONE table set / tuned matrix pair from the whole batch's
+    statistics — a deliberate deviation knob (SURVEY §7.3) that keeps the
+    host table build O(1) per batch."""
     flags = method_flags(param.method)
     if flags["use_trellis"]:
         raise NotImplementedError(
@@ -387,46 +466,89 @@ def _encode_batch_optimized(rgbs, param: EncoderParam,
     layout = pipeline.component_layout(yuv_mode, w, h)
     qmats = param.resolved_quant_matrices().copy()
     min_qmats = param.resolved_min_quant_matrices()
-    qms = [spec.finalize_quant_matrix(qmats[i], min_qmats[i],
-                                      param.quantization_bias)
-           for i in range(2)]
+    base_qms = [spec.finalize_quant_matrix(qmats[i], min_qmats[i],
+                                           param.quantization_bias)
+                for i in range(2)]
+    n_groups = 2 if layout.nb_comps > 1 else 1
+    defaults = k3_default_tables()
 
     coeffs, histos = _stage_batch_coeffs(
         jnp.asarray(rgbs), yuv_mode=yuv_mode, width=w, height=h,
-        with_histo=flags["use_adaptive_quant"])
-    if flags["use_adaptive_quant"]:
-        n_groups = 2 if layout.nb_comps > 1 else 1
-        group_histos = [np.asarray(histos[0]), np.asarray(histos[1])]
+        with_histo=flags["use_adaptive_quant"],
+        n_images=1 if share_statistics else b)
+
+    def tune(histo_pair):
+        qms = list(base_qms)
         for g in range(n_groups - 1, -1, -1):
             qdelta_max = (param.qdelta_max_luma if g == 0
                           else param.qdelta_max_chroma)
-            tuned = analyse_histo(group_histos[g].astype(np.int64),
-                                  qms[g]["quant"], min_qmats[g], qdelta_max)
+            tuned = analyse_histo(histo_pair[g].astype(np.int64),
+                                  qms[g]["quant"], min_qmats[g],
+                                  qdelta_max)
             qms[g] = spec.finalize_quant_matrix(tuned, min_qmats[g],
                                                 param.quantization_bias)
+        return qms
 
-    iq, ib = _quant_device_arrays(qms)
+    if share_statistics:
+        qms = (tune([np.asarray(histos[0]), np.asarray(histos[1])])
+               if flags["use_adaptive_quant"] else base_qms)
+        per_qms = [qms] * b
+        iq, ib = _quant_device_arrays(qms)
+    elif flags["use_adaptive_quant"]:
+        hl, hc = np.asarray(histos[0]), np.asarray(histos[1])
+        per_qms = [tune([hl[i], hc[i]]) for i in range(b)]
+        iq = jnp.asarray(np.stack(
+            [[q["iquant"] for q in qms] for qms in per_qms]
+        ).astype(np.int32))
+        ib = jnp.asarray(np.stack(
+            [[q["bias"] for q in qms] for qms in per_qms]
+        ).astype(np.int32))
+    else:
+        per_qms = [base_qms] * b
+        iq, ib = _quant_device_arrays(base_qms)
+
     vlc_state, freqs = _stage_batch_quantize(
         coeffs, iq, ib, with_stats=flags["optimize_size"],
-        nb_blocks=tuple(layout.nb_blocks), n_images=b)
+        nb_blocks=tuple(layout.nb_blocks), n_images=b,
+        per_image_stats=not share_statistics)
 
+    per_image_tables = False
     if flags["optimize_size"]:
-        n_groups = 2 if layout.nb_comps > 1 else 1
-        tables = optimal_tables_from_freqs(
-            np.asarray(freqs[0]).astype(np.int64),
-            np.asarray(freqs[1]).astype(np.int64), n_groups)
-        if n_groups == 1:
-            defaults = k3_default_tables()
-            tables[1], tables[3] = defaults[1], defaults[3]
+        if share_statistics:
+            tables = optimal_tables_from_freqs(
+                np.asarray(freqs[0]).astype(np.int64),
+                np.asarray(freqs[1]).astype(np.int64), n_groups)
+            if n_groups == 1:
+                tables[1], tables[3] = defaults[1], defaults[3]
+            per_tables = [tables] * b
+            dc_luts, ac_luts = _device_luts(tables)
+        else:
+            fdc = np.asarray(freqs[0]).astype(np.int64)
+            fac = np.asarray(freqs[1]).astype(np.int64)
+            per_tables = []
+            for i in range(b):
+                t = optimal_tables_from_freqs(fdc[i], fac[i], n_groups)
+                if n_groups == 1:
+                    t[1], t[3] = defaults[1], defaults[3]
+                per_tables.append(t)
+            dc_np = np.zeros((b, 2, 16), np.uint32)
+            ac_np = np.zeros((b, 2, 256), np.uint32)
+            for i, t in enumerate(per_tables):
+                d, a = _device_luts(t)
+                dc_np[i], ac_np[i] = np.asarray(d), np.asarray(a)
+            dc_luts, ac_luts = jnp.asarray(dc_np), jnp.asarray(ac_np)
+            per_image_tables = True
     else:
         tables = k3_default_tables()
-    dc_luts, ac_luts = _device_luts(tables)
+        per_tables = [tables] * b
+        dc_luts, ac_luts = _device_luts(tables)
 
     n_blocks_img = layout.mb_w * layout.mb_h * sum(layout.nb_blocks)
     bucket = int(min(n_blocks_img * pack.WORDS_PER_BLOCK,
                      max(4096, w * h * bits_per_pixel_budget / 32)))
     words, totals = _stage_batch_pack(vlc_state, dc_luts, ac_luts,
-                                      n_images=b, bucket=bucket)
+                                      n_images=b, bucket=bucket,
+                                      per_image_tables=per_image_tables)
     totals_np = np.asarray(totals)
     words_np = np.asarray(words)
 
@@ -436,11 +558,16 @@ def _encode_batch_optimized(rgbs, param: EncoderParam,
         total_bits = int(totals_np[i])
         if total_bits > bucket * 32:      # bucket overflow: slow refetch
             state_i = _slice_vlc_state(vlc_state, jnp.int32(i), per_img)
-            wi, ti = _stage_pack(state_i, dc_luts, ac_luts)
+            if per_image_tables:
+                dcl, acl = _device_luts(per_tables[i])
+            else:
+                dcl, acl = dc_luts, ac_luts
+            wi, ti = _stage_pack(state_i, dcl, acl)
             scan = _finalize_scan_bytes(wi, int(ti))
         else:
             scan = _finalize_scan_bytes(words_np[i], total_bits)
-        out.append(_assemble_jpeg(layout, param, qms, tables, scan))
+        out.append(_assemble_jpeg(layout, param, per_qms[i],
+                                  per_tables[i], scan))
     return out
 
 

@@ -74,28 +74,33 @@ def _merge2(x, la, w):
 
 
 def _make_merge4_kernel(w: int):
-    def kernel(units_ref, l0_ref, l2_ref, l01_ref, out_ref):
+    def kernel(units_ref, lens_ref, out_ref):
         x = units_ref[:]                       # [R, 4w] uint32
-        m0 = _merge2(jax.lax.slice_in_dim(x, 0, 2 * w, axis=1),
-                     l0_ref[:], w)
-        m1 = _merge2(jax.lax.slice_in_dim(x, 2 * w, 4 * w, axis=1),
-                     l2_ref[:], w)
+        l = lens_ref[:]                        # [R, 4] int32
+        l0 = jax.lax.slice_in_dim(l, 0, 1, axis=1)
+        l1 = jax.lax.slice_in_dim(l, 1, 2, axis=1)
+        l2 = jax.lax.slice_in_dim(l, 2, 3, axis=1)
+        m0 = _merge2(jax.lax.slice_in_dim(x, 0, 2 * w, axis=1), l0, w)
+        m1 = _merge2(jax.lax.slice_in_dim(x, 2 * w, 4 * w, axis=1), l2, w)
         y = jnp.concatenate([m0, m1], axis=1)  # [R, 4w]
-        out_ref[:] = _merge2(y, l01_ref[:], 2 * w)
+        out_ref[:] = _merge2(y, l0 + l1, 2 * w)
 
     return kernel
 
 
 def _make_merge2_kernel(w: int):
-    def kernel(units_ref, l0_ref, out_ref):
-        out_ref[:] = _merge2(units_ref[:], l0_ref[:], w)
+    def kernel(units_ref, lens_ref, out_ref):
+        l0 = jax.lax.slice_in_dim(lens_ref[:], 0, 1, axis=1)
+        out_ref[:] = _merge2(units_ref[:], l0, w)
 
     return kernel
 
 
 def _merge_level(units, lens, w: int, radix: int):
     """One tree level: [M, radix*w] rows (+ per-unit lens [M, radix]) ->
-    ([M, radix*w] merged rows, [M] total bits)."""
+    ([M, radix*w] merged rows, [M] total bits).  The whole lens block
+    rides into the kernel (XLA column slices of [M, radix] arrays lower
+    to multi-ms async-slice chains on TPU)."""
     M = units.shape[0]
     lanes = radix * w
     # Mosaic block rule: sublane dim divisible by 8, or equal to the
@@ -110,33 +115,25 @@ def _merge_level(units, lens, w: int, radix: int):
             R *= 2
     spec_u = pl.BlockSpec((R, lanes), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec_l = pl.BlockSpec((R, 1), lambda i: (i, 0),
+    spec_l = pl.BlockSpec((R, radix), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    if radix == 4:
-        kernel = _make_merge4_kernel(w)
-        l0 = lens[:, 0:1]
-        l2 = lens[:, 2:3]
-        l01 = lens[:, 0:1] + lens[:, 1:2]
-        args = (units, l0, l2, l01)
-        in_specs = [spec_u, spec_l, spec_l, spec_l]
-    else:
-        kernel = _make_merge2_kernel(w)
-        args = (units, lens[:, 0:1])
-        in_specs = [spec_u, spec_l]
+    kernel = (_make_merge4_kernel(w) if radix == 4
+              else _make_merge2_kernel(w))
     out = pl.pallas_call(
         kernel,
         grid=(M // R,),
-        in_specs=in_specs,
+        in_specs=[spec_u, spec_l],
         out_specs=pl.BlockSpec((R, lanes), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, lanes), jnp.uint32),
-    )(*args)
+    )(units, lens)
     return out, jnp.sum(lens, axis=1)
 
 
 # Stop growing tree units once a merge tile would leave comfortable VMEM
 # reach; the few remaining wide units per image are placed by the XLA
-# scan finisher below.
+# scan finisher below (whose per-step loop overhead dominates, so fewer,
+# wider units win).
 W_STOP = 32768
 
 

@@ -184,15 +184,42 @@ def fields_to_words(run, size, code, nz, dc_code, group, dc_lut_ref,
     return words, total
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+class _DropLead:
+    """Index adapter: exposes ref[g, k] over a [1, G, K]-shaped ref."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, idx):
+        return self._ref[(0,) + tuple(idx)]
+
+
+def _vlc_pack_kernel_sets(run_ref, size_ref, code_ref, dc_ref, group_ref,
+                          dc_lut_ref, ac_lut_ref, words_ref, total_ref):
+    """Per-image-LUT variant: LUT refs carry a leading singleton dim
+    (the image slice picked by the BlockSpec index map)."""
+    words, total = _vlc_pack_body(
+        run_ref[:], size_ref[:], code_ref[:], dc_ref[:], group_ref[:],
+        _DropLead(dc_lut_ref), _DropLead(ac_lut_ref))
+    words_ref[:] = words
+    total_ref[:] = total
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "tiles_per_img"))
 def vlc_pack_pallas(run, size, code, dc_codes, group, dc_luts, ac_luts,
-                    tile: int = DEFAULT_TILE):
+                    tile: int = DEFAULT_TILE, tiles_per_img: int = 0):
     """Fused VLC + pack.
 
     run/size/code: [N, 64] int32 zigzag-order fields (position 0 ignored
     for AC; size==0 marks uncoded positions); dc_codes: [N] packed DC
     size|suffix codes; group: [N] int32 table group per block;
     dc_luts [2, 16] / ac_luts [2, 256] uint32 packed (code<<16|len) LUTs.
+
+    Per-image Huffman tables: pass dc_luts [B, 2, 16] / ac_luts
+    [B, 2, 256] and `tiles_per_img` (rows must be image-major with
+    per-image block counts padded to tile * tiles_per_img); each grid
+    step's BlockSpec index map selects its image's LUT slice, so the
+    kernel body stays two-table.
     Returns ([N, 64] uint32 words, [N] int32 bit counts).
     """
     N = run.shape[0]
@@ -210,10 +237,20 @@ def vlc_pack_pallas(run, size, code, dc_codes, group, dc_luts, ac_luts,
                           memory_space=pltpu.VMEM)
     spec1 = pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    lut_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                          memory_space=pltpu.SMEM)
+    if tiles_per_img:
+        assert dc_luts.ndim == 3 and NP // tile == \
+            dc_luts.shape[0] * tiles_per_img
+        t = tiles_per_img
+        lut_spec = lambda shape: pl.BlockSpec(
+            (1,) + shape, lambda i, t=t: (i // t, 0, 0),
+            memory_space=pltpu.SMEM)
+        kernel = _vlc_pack_kernel_sets
+    else:
+        lut_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                              memory_space=pltpu.SMEM)
+        kernel = _vlc_pack_kernel
     words, totals = pl.pallas_call(
-        _vlc_pack_kernel,
+        kernel,
         grid=(NP // tile,),
         in_specs=[spec64, spec64, spec64, spec1, spec1,
                   lut_spec((2, 16)), lut_spec((2, 256))],

@@ -73,8 +73,10 @@ def sum_u64(x, hi=None, lo=None):
     return shi, slo
 
 
-def store_histo(coeffs):
-    """[N, 64] coeffs -> [64, MAX_HISTO_DCT_COEFF] int32 histogram.
+def store_histo(coeffs, n_images: int = 1):
+    """[N, 64] coeffs -> [64, MAX_HISTO_DCT_COEFF] int32 histogram
+    (or [B, 64, bins] segmented per image when n_images > 1; rows must
+    be image-major with equal block counts).
 
     Bins |c| >> HSHIFT, dropping overflows past the last bin (the C
     reference semantics; the analysis never reads the overflow slot).
@@ -83,8 +85,17 @@ def store_histo(coeffs):
     nbins = C.MAX_HISTO_DCT_COEFF
     pos = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32)[None, :],
                            mag.shape)
-    flat = pos.reshape(-1) * nbins + mag.reshape(-1)
-    flat = jnp.where(mag.reshape(-1) < nbins, flat, nbins * 64)  # drop slot
-    hist = jnp.zeros(64 * nbins + 1, dtype=jnp.int32)
+    slot = pos.reshape(-1)
+    if n_images > 1:
+        per_img = mag.shape[0] // n_images
+        img = jnp.arange(mag.shape[0], dtype=jnp.int32) // per_img
+        slot = slot + jnp.repeat(img * 64, 64)
+    flat = slot * nbins + mag.reshape(-1)
+    drop = n_images * 64 * nbins
+    flat = jnp.where(mag.reshape(-1) < nbins, flat, drop)  # drop slot
+    hist = jnp.zeros(drop + 1, dtype=jnp.int32)
     hist = hist.at[flat].add(1)
-    return hist[:-1].reshape(64, nbins)
+    hist = hist[:-1]
+    if n_images > 1:
+        return hist.reshape(n_images, 64, nbins)
+    return hist.reshape(64, nbins)

@@ -246,20 +246,44 @@ def test_pallas_concat_matches_xla_interpret(rng):
 
 
 def test_encode_batch_optimized_shared_stats(rng):
-    """Batched two-pass Huffman + adaptive encode (shared statistics):
-    streams stay valid JPEG and rate stays close to per-image encoding."""
+    """Batched two-pass Huffman + adaptive encode (share_statistics=True
+    knob): streams stay valid JPEG, rate close to per-image encoding."""
     import io
     from PIL import Image
     from sjpeg_tpu import host_encode_rgb
     from sjpeg_tpu.engine import encode_batch
     imgs = rng.randint(0, 256, (3, 48, 32, 3), dtype=np.uint8)
     p = EncoderParam(quality=80, yuv_mode=C.YUV_420)
-    outs = encode_batch(imgs, p)
+    outs = encode_batch(imgs, p, share_statistics=True)
     for i, j in enumerate(outs):
         dec = np.asarray(Image.open(io.BytesIO(j)).convert("RGB"))
         assert dec.shape == imgs[i].shape
         ref = host_encode_rgb(imgs[i], p)       # per-image statistics
         assert len(j) < len(ref) * 1.15         # shared tables cost < 15%
+
+
+@pytest.mark.parametrize("huff,adapt,mode", [
+    (True, True, C.YUV_420),    # method 4 (reference default)
+    (True, True, C.YUV_444),
+    (True, True, C.YUV_400),
+    (True, False, C.YUV_420),   # method 1: two-pass Huffman only
+    (False, True, C.YUV_420),   # method 3: adaptive only, default tables
+])
+def test_encode_batch_per_image_byte_identical(rng, huff, adapt, mode):
+    """Default batched optimized encode = per-image optimization:
+    byte-identical to encoding each image alone (src/enc.cc:1517-1580
+    per-image semantics)."""
+    from sjpeg_tpu.engine import encode_batch, encode_rgb
+    imgs = rng.randint(0, 256, (3, 48, 40, 3), dtype=np.uint8)
+    # mix content so per-image tables genuinely differ
+    imgs[1] //= 4
+    imgs[2] = np.minimum(255, imgs[2] // 8 + 200)
+    p = EncoderParam(quality=83, yuv_mode=mode, huffman_compress=huff,
+                     adaptive_quantization=adapt)
+    outs = encode_batch(imgs, p)
+    for i in range(len(imgs)):
+        single = encode_rgb(imgs[i], p)
+        assert outs[i] == single, (huff, adapt, mode, i)
 
 
 def test_pallas_quant_pack_matches_xla_interpret(rng):
@@ -316,6 +340,82 @@ def test_pallas_quant_pack_matches_xla_interpret(rng):
         nw = (int(want_t[n]) + 31) // 32
         np.testing.assert_array_equal(np.asarray(got_w)[n, :nw],
                                       np.asarray(want_w)[n, :nw])
+
+
+def test_pallas_vlc_pack_per_image_luts_interpret(rng):
+    """Per-image-LUT VLC+pack (tiles_per_img path, interpret mode) vs
+    running the XLA grouped path image-by-image with its own tables."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.engine import (_device_luts, _interleave_quantized,
+                                  _quant_device_arrays)
+    from sjpeg_tpu.huffman import (k3_default_tables,
+                                   optimal_tables_from_freqs)
+    from sjpeg_tpu.ops import pallas_vlc_pack as pv
+    from sjpeg_tpu.ops import vlc as vlc_mod
+    from sjpeg_tpu.params import quant_matrices_for_quality
+
+    B, n_mcu, nb = 2, 8, (4, 1, 1)
+    tile, tiles_per_img = 16, 3         # per_img=48 rows = 3 tiles
+    qmats = quant_matrices_for_quality(75.0)
+    qm = [spec.finalize_quant_matrix(qmats[i], np.ones(64, np.uint8),
+                                     C.DEFAULT_BIAS) for i in range(2)]
+    iq, ib = _quant_device_arrays(qm)
+
+    coeffs = []
+    for c, n in enumerate(nb):
+        co = rng.randint(-2000, 2000, (B * n_mcu * n, 64))
+        co[rng.rand(*co.shape) < 0.7] = 0
+        coeffs.append(jnp.asarray(co.astype(np.int32)))
+    rl, dc_codes, group = _interleave_quantized(coeffs, iq, ib, nb,
+                                                n_images=B)
+
+    # two genuinely different LUT sets: defaults + optimal-for-image-1
+    from sjpeg_tpu.engine import _grouped_stats
+    fdc, fac = _grouped_stats(rl, dc_codes, group, n_images=B)
+    t0 = k3_default_tables()
+    t1 = optimal_tables_from_freqs(np.asarray(fdc)[1].astype(np.int64),
+                                   np.asarray(fac)[1].astype(np.int64), 2)
+    per_tables = [t0, t1]
+    dc_np = np.zeros((B, 2, 16), np.uint32)
+    ac_np = np.zeros((B, 2, 256), np.uint32)
+    for i, t in enumerate(per_tables):
+        d, a = _device_luts(t)
+        dc_np[i], ac_np[i] = np.asarray(d), np.asarray(a)
+
+    # expected: XLA grouped path per image with that image's tables
+    per_img = group.shape[0] // B
+    want_w, want_t = [], []
+    for i in range(B):
+        sl = slice(i * per_img, (i + 1) * per_img)
+        rl_i = {k: v[sl] for k, v in rl.items()}
+        d, a = _device_luts(per_tables[i])
+        vals, lens = vlc_mod.block_entries_grouped(
+            rl_i, dc_codes[sl], d, a, group[sl])
+        w, t = pack.pack_block_entries(vals, lens)
+        want_w.append(np.asarray(w))
+        want_t.append(np.asarray(t))
+    want_w = np.concatenate(want_w)
+    want_t = np.concatenate(want_t)
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        got_w, got_t = pv.vlc_pack_pallas.__wrapped__(
+            rl["run"], rl["size"], rl["code"], dc_codes, group,
+            jnp.asarray(dc_np), jnp.asarray(ac_np), tile=tile,
+            tiles_per_img=tiles_per_img)
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(got_t), want_t)
+    for n in range(group.shape[0]):
+        nw = (int(want_t[n]) + 31) // 32
+        np.testing.assert_array_equal(np.asarray(got_w)[n, :nw],
+                                      want_w[n, :nw])
 
 
 def test_pallas_tree_concat_matches_xla_interpret(rng):
