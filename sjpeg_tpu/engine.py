@@ -148,6 +148,104 @@ def _interleave_coeffs(coeffs, iquant, ibias, nb_blocks, n_images=1):
     return cinter, dc_codes, group
 
 
+@functools.partial(jax.jit, static_argnames=("nb_blocks", "n_images"))
+def _stage_trellis_prep(coeffs, iquant, ibias, quant, nb_blocks,
+                        n_images: int = 1):
+    """Interleave coefficients into MCU order and expand the quantizer
+    matrices to per-block [N, 64] rows for the trellis driver; DC diff
+    codes come from the plain bias quantizer here, identical to the
+    trellis kernel's own DC rule (src/enc.cc:763-766).
+
+    iquant/ibias/quant: [2, 64] shared or [B, 2, 64] per-image matrices
+    (raster order)."""
+    mcu_blocks = sum(nb_blocks)
+    n_mcu = coeffs[0].shape[0] // nb_blocks[0]
+    cinter = jnp.concatenate(
+        [co.reshape(n_mcu, nb, 64) for co, nb in zip(coeffs, nb_blocks)],
+        axis=1).reshape(-1, 64)
+    slot_group = np.zeros(mcu_blocks, dtype=np.int32)
+    slot_group[nb_blocks[0]:] = 1 if len(nb_blocks) > 1 else 0
+    group = jnp.tile(jnp.asarray(slot_group), n_mcu)
+
+    N = cinter.shape[0]
+    g0 = (group == 0)[:, None]
+
+    def rows(m):
+        """Matrices -> per-block [N, 64] rows.  Image-major block layout
+        lines up with the leading axis, so the per-image select is a
+        broadcast where, not a gather."""
+        m = m.astype(jnp.int32)
+        if m.ndim == 2:
+            return jnp.where(g0, m[0][None], m[1][None])
+        per_img = N // n_images
+        g3 = g0.reshape(n_images, per_img, 1)
+        r = jnp.where(g3, m[:, 0][:, None, :], m[:, 1][:, None, :])
+        return r.reshape(N, 64)
+
+    dc_cols = []
+    for c, (co, nb) in enumerate(zip(coeffs, nb_blocks)):
+        g = 0 if c == 0 else 1
+        dc = co[:, 0].astype(jnp.int32)
+        if iquant.ndim == 3:
+            dcr = dc.reshape(n_images, -1)
+            t = (jnp.abs(dcr) + ibias[:, g, 0][:, None]).astype(jnp.uint32)
+            q = ((t * iquant[:, g, 0][:, None].astype(jnp.uint32))
+                 >> C.FP_BITS).astype(jnp.int32) >> C.AC_BITS
+            dcq = jnp.where(dcr < 0, -q, q).reshape(-1)
+        else:
+            t = (jnp.abs(dc) + ibias[g, 0]).astype(jnp.uint32)
+            q = ((t * iquant[g, 0].astype(jnp.uint32))
+                 >> C.FP_BITS).astype(jnp.int32) >> C.AC_BITS
+            dcq = jnp.where(dc < 0, -q, q)
+        codes = vlc.dc_diff_codes(dcq, n_images)
+        dc_cols.append(codes.reshape(n_mcu, nb))
+    dc_codes = jnp.concatenate(dc_cols, axis=1).reshape(-1)
+    return cinter, rows(iquant), rows(ibias), rows(quant), group, dc_codes
+
+
+@functools.partial(jax.jit, static_argnames=("with_stats", "n_images",
+                                             "per_image_stats"))
+def _stage_trellis_post(qinter, dc_codes, group, with_stats: bool,
+                        n_images: int = 1, per_image_stats: bool = False):
+    """Trellis-quantized blocks -> VLC fields (+ frequencies)."""
+    rl = vlc.run_levels(qinter)
+    if not with_stats:
+        return (rl, dc_codes, group), None
+    return (rl, dc_codes, group), _grouped_stats(
+        rl, dc_codes, group, n_images if per_image_stats else 1)
+
+
+def _stage_quantize_trellis(coeffs, iquant, ibias, quant, lt_lens,
+                            with_stats: bool, nb_blocks, n_images: int = 1,
+                            per_image_stats: bool = False):
+    """Trellis quantize + interleave + VLC fields (+ frequencies) — the
+    methods-7/8 analog of `_stage_quantize` (src/enc.cc:692-761).
+
+    Not a single jit: the trellis itself runs through the fixed-shape
+    chunked driver (ops.trellis.trellis_quantize_tiled) so every image
+    and batch size reuses one compiled scan executable.  lt_lens: the
+    [2, 256] AC code lengths supplying the rate costs — always the
+    tables active *before* Huffman optimization (src/enc.cc:1528)."""
+    from .ops import trellis as trellis_ops
+    cinter, iq_r, ib_r, qq_r, group, dc_codes = _stage_trellis_prep(
+        coeffs, iquant, ibias, quant, nb_blocks, n_images)
+    qinter = trellis_ops.trellis_quantize_tiled(cinter, iq_r, ib_r, qq_r,
+                                                group, lt_lens)
+    return _stage_trellis_post(qinter, dc_codes, group,
+                               with_stats=with_stats, n_images=n_images,
+                               per_image_stats=per_image_stats)
+
+
+@functools.lru_cache(maxsize=1)
+def _trellis_cost_lens():
+    """[2, 256] K.3-default AC code lengths (the pre-optimization rate
+    model the reference trellis uses, src/enc.cc:1528)."""
+    defaults = k3_default_tables()
+    lens = np.stack([build_code_lut(defaults[2], 256) & 0xFF,
+                     build_code_lut(defaults[3], 256) & 0xFF])
+    return jnp.asarray(lens.astype(np.int32))
+
+
 def _grouped_stats(rl, dc_codes, group, n_images: int = 1):
     """Per-table-group symbol frequencies from interleaved VLC fields.
 
@@ -199,7 +297,7 @@ def _stage_pack(vlc_state, dc_luts, ac_luts):
             dc_luts, ac_luts)
         out, totals = pallas_tree_concat.concat_block_streams_tree(
             words, bit_lens, n_images=1,
-            bucket=words.shape[0] * pack.WORDS_PER_BLOCK)
+            bucket=words.shape[0] * pack.WORDS_PER_BLOCK, sliced=False)
         return out[0], totals[0]
     vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts,
                                            ac_luts, group)
@@ -456,9 +554,6 @@ def _encode_batch_optimized(rgbs, param: EncoderParam,
     statistics — a deliberate deviation knob (SURVEY §7.3) that keeps the
     host table build O(1) per batch."""
     flags = method_flags(param.method)
-    if flags["use_trellis"]:
-        raise NotImplementedError(
-            "trellis is not supported in batched mode; encode per image")
     b, h, w = rgbs.shape[:3]
     yuv_mode = param.yuv_mode
     if yuv_mode in (C.YUV_AUTO, C.YUV_SHARP):
@@ -507,10 +602,25 @@ def _encode_batch_optimized(rgbs, param: EncoderParam,
         per_qms = [base_qms] * b
         iq, ib = _quant_device_arrays(base_qms)
 
-    vlc_state, freqs = _stage_batch_quantize(
-        coeffs, iq, ib, with_stats=flags["optimize_size"],
-        nb_blocks=tuple(layout.nb_blocks), n_images=b,
-        per_image_stats=not share_statistics)
+    if flags["use_trellis"]:
+        if share_statistics or not flags["use_adaptive_quant"]:
+            qq = jnp.asarray(np.stack(
+                [per_qms[0][0]["quant"], per_qms[0][1]["quant"]]
+            ).astype(np.int32))
+        else:
+            qq = jnp.asarray(np.stack(
+                [[q["quant"] for q in qms] for qms in per_qms]
+            ).astype(np.int32))
+        vlc_state, freqs = _stage_quantize_trellis(
+            coeffs, iq, ib, qq, _trellis_cost_lens(),
+            with_stats=flags["optimize_size"],
+            nb_blocks=tuple(layout.nb_blocks), n_images=b,
+            per_image_stats=not share_statistics)
+    else:
+        vlc_state, freqs = _stage_batch_quantize(
+            coeffs, iq, ib, with_stats=flags["optimize_size"],
+            nb_blocks=tuple(layout.nb_blocks), n_images=b,
+            per_image_stats=not share_statistics)
 
     per_image_tables = False
     if flags["optimize_size"]:
@@ -776,8 +886,9 @@ def _finalize_scan_bytes(words, total_bits: int) -> bytes:
 
 def _encode_blocks_device(get_coeffs, layout, param: EncoderParam) -> bytes:
     flags = method_flags(param.method)
-    if flags["use_trellis"]:
-        raise NotImplementedError("trellis runs via the host orchestrator")
+    if flags["use_trellis"] and param.passes > 1:
+        raise NotImplementedError(
+            "multi-pass trellis runs via the host orchestrator")
 
     if param.passes > 1:
         coeffs, histos = get_coeffs(flags["use_adaptive_quant"])
@@ -804,9 +915,17 @@ def _encode_blocks_device(get_coeffs, layout, param: EncoderParam) -> bytes:
                                                 param.quantization_bias)
 
     iq, ib = _quant_device_arrays(qms)
-    vlc_state, freqs = _stage_quantize(coeffs, iq, ib,
-                                       with_stats=flags["optimize_size"],
-                                       nb_blocks=tuple(layout.nb_blocks))
+    if flags["use_trellis"]:
+        qq = jnp.asarray(np.stack([qms[0]["quant"], qms[1]["quant"]])
+                         .astype(np.int32))
+        vlc_state, freqs = _stage_quantize_trellis(
+            coeffs, iq, ib, qq, _trellis_cost_lens(),
+            with_stats=flags["optimize_size"],
+            nb_blocks=tuple(layout.nb_blocks))
+    else:
+        vlc_state, freqs = _stage_quantize(
+            coeffs, iq, ib, with_stats=flags["optimize_size"],
+            nb_blocks=tuple(layout.nb_blocks))
 
     if flags["optimize_size"]:
         freq_dc = np.asarray(freqs[0]).astype(np.int64)
@@ -852,8 +971,8 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
     h, w = rgb.shape[:2]
     assert 0 < w <= C.MAX_DIMENSION and 0 < h <= C.MAX_DIMENSION
-    if method_flags(param.method)["use_trellis"]:
-        # trellis runs through the host orchestrator
+    if method_flags(param.method)["use_trellis"] and param.passes > 1:
+        # multi-pass trellis runs through the host orchestrator
         from . import host_encoder
         return host_encoder.encode_rgb(rgb, param)
     yuv_mode = param.yuv_mode
@@ -896,7 +1015,7 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
 def encode_gray(gray: np.ndarray,
                 param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
-    if method_flags(param.method)["use_trellis"]:
+    if method_flags(param.method)["use_trellis"] and param.passes > 1:
         from . import host_encoder
         return host_encoder.encode_gray(gray, param)
     h, w = gray.shape
@@ -913,7 +1032,7 @@ def encode_gray(gray: np.ndarray,
 def encode_yuv(y, u, v, is_420: bool,
                param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
-    if method_flags(param.method)["use_trellis"]:
+    if method_flags(param.method)["use_trellis"] and param.passes > 1:
         from . import host_encoder
         return host_encoder.encode_yuv(y, u, v, is_420, param)
     h, w = y.shape

@@ -55,13 +55,19 @@ def _place(b, la, w):
 
     # log-step placement ladder as a fori_loop (dynamic roll shifts) so
     # Mosaic reuses the frame's VMEM slot instead of materializing one
-    # temporary per unrolled step
+    # temporary per unrolled step.  The bound is data-dependent: real
+    # streams fill a small fraction of their frame, so the high offset
+    # bits are zero tile-wide and those ladder steps are skipped.
     def body(k, f):
         sh = jnp.int32(1) << k
         rolled = pltpu.roll(f, shift=sh, axis=1)
         return jnp.where((o & sh) > 0, rolled, f)
 
-    return jax.lax.fori_loop(0, w.bit_length(), body, frame)
+    omax = jnp.max(o)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1)
+    nsteps = jnp.sum(jnp.where((omax >> ks) > 0, 1, 0))
+    return jax.lax.fori_loop(0, jnp.minimum(nsteps, w.bit_length()),
+                             body, frame)
 
 
 def _merge2(x, la, w):
@@ -73,7 +79,7 @@ def _merge2(x, la, w):
     return apad | placed
 
 
-def _make_merge4_kernel(w: int):
+def _make_merge4_kernel(w: int, out_w: int):
     def kernel(units_ref, lens_ref, out_ref):
         x = units_ref[:]                       # [R, 4w] uint32
         l = lens_ref[:]                        # [R, 4] int32
@@ -83,24 +89,31 @@ def _make_merge4_kernel(w: int):
         m0 = _merge2(jax.lax.slice_in_dim(x, 0, 2 * w, axis=1), l0, w)
         m1 = _merge2(jax.lax.slice_in_dim(x, 2 * w, 4 * w, axis=1), l2, w)
         y = jnp.concatenate([m0, m1], axis=1)  # [R, 4w]
-        out_ref[:] = _merge2(y, l0 + l1, 2 * w)
+        m = _merge2(y, l0 + l1, 2 * w)
+        out_ref[:] = (m if out_w == 4 * w
+                      else jax.lax.slice_in_dim(m, 0, out_w, axis=1))
 
     return kernel
 
 
-def _make_merge2_kernel(w: int):
+def _make_merge2_kernel(w: int, out_w: int):
     def kernel(units_ref, lens_ref, out_ref):
         l0 = jax.lax.slice_in_dim(lens_ref[:], 0, 1, axis=1)
-        out_ref[:] = _merge2(units_ref[:], l0, w)
+        m = _merge2(units_ref[:], l0, w)
+        out_ref[:] = (m if out_w == 2 * w
+                      else jax.lax.slice_in_dim(m, 0, out_w, axis=1))
 
     return kernel
 
 
-def _merge_level(units, lens, w: int, radix: int):
+def _merge_level(units, lens, w: int, radix: int, out_w: int):
     """One tree level: [M, radix*w] rows (+ per-unit lens [M, radix]) ->
-    ([M, radix*w] merged rows, [M] total bits).  The whole lens block
+    ([M, out_w] merged rows, [M] total bits).  The whole lens block
     rides into the kernel (XLA column slices of [M, radix] arrays lower
-    to multi-ms async-slice chains on TPU)."""
+    to multi-ms async-slice chains on TPU).  out_w < radix*w truncates
+    each merged frame — valid only while the true content fits out_w*32
+    bits; the caller detects violations from the exact lens and flags
+    the image for the slow path."""
     M = units.shape[0]
     lanes = radix * w
     # Mosaic block rule: sublane dim divisible by 8, or equal to the
@@ -117,15 +130,15 @@ def _merge_level(units, lens, w: int, radix: int):
                           memory_space=pltpu.VMEM)
     spec_l = pl.BlockSpec((R, radix), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    kernel = (_make_merge4_kernel(w) if radix == 4
-              else _make_merge2_kernel(w))
+    kernel = (_make_merge4_kernel(w, out_w) if radix == 4
+              else _make_merge2_kernel(w, out_w))
     out = pl.pallas_call(
         kernel,
         grid=(M // R,),
         in_specs=[spec_u, spec_l],
-        out_specs=pl.BlockSpec((R, lanes), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((R, out_w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, lanes), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((M, out_w), jnp.uint32),
     )(units, lens)
     return out, jnp.sum(lens, axis=1)
 
@@ -135,6 +148,13 @@ def _merge_level(units, lens, w: int, radix: int):
 # scan finisher below (whose per-step loop overhead dominates, so fewer,
 # wider units win).
 W_STOP = 32768
+
+# Number of early radix-4 levels whose merged frames are truncated to
+# half width (2w instead of 4w).  Real streams average ~50-150 bits per
+# 2048-bit level-0 frame, so halving keeps ~8-30x slack while halving
+# every later level's HBM traffic; a unit whose exact length exceeds the
+# truncated frame flags its image for the engine's per-image slow path.
+SLICED_LEVELS = 3
 
 
 def _finish_units(units, lens, n_images: int, bucket: int):
@@ -177,11 +197,20 @@ def _finish_units(units, lens, n_images: int, bucket: int):
     return out[:, :bucket], totals.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_images", "bucket"))
-def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int):
+@functools.partial(jax.jit, static_argnames=("n_images", "bucket",
+                                             "sliced"))
+def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int,
+                              sliced: bool = True):
     """[N, WORDS] uint32 + [N] int32 -> ([n_images, bucket] uint32,
     [n_images] int32 total bits).  N is image-major; per-image block
-    counts are padded to a power of two with zero-length streams."""
+    counts are padded to a power of two with zero-length streams.
+
+    With `sliced` (default), the first SLICED_LEVELS radix-4 levels
+    truncate merged frames to half width; an image whose content
+    overflows a truncated frame gets totals=INT32_MAX so the engine's
+    existing per-image refetch fallback re-encodes it exactly.  Pass
+    sliced=False on paths that must be overflow-proof (the per-image
+    fallback itself)."""
     N, W = words.shape
     assert W == WORDS
     per_img = N // n_images
@@ -199,6 +228,8 @@ def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int):
     lens = bit_lens.astype(jnp.int32)
     w = W
     n_units = n_images * u
+    level = 0
+    overflow = jnp.zeros((n_images,), jnp.bool_)
     while n_units > n_images and w < W_STOP:
         per = n_units // n_images                    # units per image
         radix = (4 if per % 4 == 0 and per >= 4 and w * 4 <= W_STOP
@@ -206,16 +237,26 @@ def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int):
         rows = n_units // radix
         units = units.reshape(rows, radix * w)
         lens = lens.reshape(rows, radix)
-        units, lens_row = _merge_level(units, lens, w, radix)
-        w *= radix
+        out_w = radix * w
+        if sliced and radix == 4 and level < SLICED_LEVELS:
+            out_w = 2 * w
+        units, lens_row = _merge_level(units, lens, w, radix, out_w)
+        if out_w < radix * w:
+            ov = (lens_row > out_w * 32).reshape(n_images, -1).any(axis=1)
+            overflow = overflow | ov
+        w = out_w
         n_units = rows
         lens = lens_row.reshape(-1)
+        level += 1
 
     if n_units == n_images:
         totals = lens.reshape(n_images)
         out = units.reshape(n_images, w)
         if w < bucket:
             out = jnp.pad(out, ((0, 0), (0, bucket - w)))
-        return out[:, :bucket], totals.astype(jnp.int32)
-    return _finish_units(units.reshape(-1, w), lens.reshape(-1),
-                         n_images, bucket)
+        out, totals = out[:, :bucket], totals.astype(jnp.int32)
+    else:
+        out, totals = _finish_units(units.reshape(-1, w), lens.reshape(-1),
+                                    n_images, bucket)
+    totals = jnp.where(overflow, jnp.int32(0x7FFFFFFF), totals)
+    return out, totals

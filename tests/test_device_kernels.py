@@ -457,3 +457,55 @@ def test_pallas_tree_concat_matches_xla_interpret(rng):
         nw = (int(wt[b]) + 31) // 32
         np.testing.assert_array_equal(np.asarray(got)[b, :nw],
                                       np.asarray(want)[b, :nw])
+
+
+def test_pallas_tree_concat_sliced_overflow_flag(rng):
+    """A burst of near-full blocks overflows a truncated merge frame:
+    that image's totals become INT32_MAX (engine fallback trigger) while
+    other images stay byte-exact; sliced=False stays exact for all."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.ops import pallas_tree_concat as ptc
+    n_images, per_img = 2, 64
+    N = n_images * per_img
+    lens = rng.randint(10, 200, N).astype(np.int32)
+    # image 1: four adjacent almost-full blocks -> 4x~2000 bits, beyond
+    # the 4096-bit sliced level-0 output frame
+    lens[per_img + 8: per_img + 12] = 2000
+    words = np.zeros((N, 64), np.uint32)
+    for n in range(N):
+        L = int(lens[n])
+        for j in range((L + 31) // 32):
+            bits = min(32, L - 32 * j)
+            w = (rng.randint(0, 1 << bits) << (32 - bits)
+                 if bits < 32 else rng.randint(0, 1 << 32))
+            words[n, j] = w
+    bucket = 8192
+    want, wt = pack.concat_block_streams_batched(
+        jnp.asarray(words), jnp.asarray(lens), n_images, bucket)
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        got, gt = ptc.concat_block_streams_tree.__wrapped__(
+            jnp.asarray(words), jnp.asarray(lens), n_images=n_images,
+            bucket=bucket)
+        got_s, gt_s = ptc.concat_block_streams_tree.__wrapped__(
+            jnp.asarray(words), jnp.asarray(lens), n_images=n_images,
+            bucket=bucket, sliced=False)
+    finally:
+        pl.pallas_call = orig
+    assert int(gt[1]) == 0x7FFFFFFF            # flagged for fallback
+    nw = (int(wt[0]) + 31) // 32
+    assert int(gt[0]) == int(wt[0])            # clean image exact
+    np.testing.assert_array_equal(np.asarray(got)[0, :nw],
+                                  np.asarray(want)[0, :nw])
+    np.testing.assert_array_equal(np.asarray(gt_s), np.asarray(wt))
+    for b in range(n_images):
+        nw = (int(wt[b]) + 31) // 32
+        np.testing.assert_array_equal(np.asarray(got_s)[b, :nw],
+                                      np.asarray(want)[b, :nw])
