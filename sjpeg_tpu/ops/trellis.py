@@ -1,0 +1,257 @@
+"""Device trellis (rate-distortion Viterbi) quantization.
+
+Vectorizes the reference's per-block node search (src/enc.cc:692-761,
+methods 7/8) over all blocks at once: the sparse node list becomes a
+dense 128-lane lattice (2 candidate slots x 63 zigzag positions + sink),
+and the sequential "search every previous node" loop becomes one
+`lax.scan` over the 63 positions whose step evaluates every (candidate,
+predecessor) pair as a masked [N, 2, 128] uint32 tensor op.  All score
+arithmetic wraps mod 2^32 exactly like the reference's uint32 scores;
+outputs are bit-identical to the host oracle `spec.trellis_quantize_block`.
+
+Lattice layout (lane index k, "reversed append order"):
+    k = 127 - 2*i - c  for the candidate c in {0 (full), 1 (one bit
+    shorter)} at zigzag position i in 1..63; k = 126 is the sink; 127 pad.
+Ascending k enumerates nodes in the exact order the reference's
+`for cur in reversed(nodes)` visits them, so a first-occurrence argmin
+reproduces its strict-< tie-breaking (later-appended node wins ties,
+sink loses all ties), both in the predecessor search and in the final
+best-node selection.
+
+Huffman rate costs come in as a per-block [N, 16, 16] length table
+LT[n, run15, size] (built from the 2-group AC tables by a luma/chroma
+select — no gathers), and the per-step cost lookup is a masked
+accumulation over the 16 possible `run & 15` values.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+
+_KMAX = jnp.uint32(0xFFFFFFFF)
+_SINK = 126
+
+
+def _bit_length(v):
+    """Bit length of v (0 -> 0), v < 4096."""
+    n = jnp.zeros_like(v)
+    for k in range(12):
+        n = n + (v > ((1 << k) - 1)).astype(v.dtype)
+    return n
+
+
+def ac_len_table(ac_lut_lens, group):
+    """[G, 256] AC code lengths + [N] group -> [N, 16, 16] LT[n, r15, s].
+
+    G == 2 selects per row (no gather); the symbol layout is
+    sym = (r15 << 4) | s."""
+    t = ac_lut_lens.astype(jnp.int32).reshape(-1, 16, 16)
+    if t.shape[0] == 1:
+        return jnp.broadcast_to(t, (group.shape[0], 16, 16))
+    grp0 = (group == 0).reshape(-1, 1, 1)
+    return jnp.where(grp0, t[0][None], t[1][None])
+
+
+@jax.jit
+def trellis_quantize_blocks_jax(coeffs, iquant, ibias, quant, lt):
+    """[N, 64] int32 raster fDCT coeffs (x16) -> [N, 64] signed
+    trellis-quantized values (raster order).
+
+    iquant/ibias/quant: [N, 64] int32 per-block rows (raster order,
+    from finalize_quant_matrix, already group-/image-selected);
+    lt: [N, 16, 16] AC code-length table from `ac_len_table`.
+    DC is plain bias-quantized (reference quantizes DC outside the
+    trellis, src/enc.cc:763-766).
+    """
+    N = coeffs.shape[0]
+    zz = jnp.asarray(C.ZIGZAG, jnp.int32)
+    cz = coeffs[:, zz].astype(jnp.int32)            # zigzag order
+    iqz = iquant[:, zz].astype(jnp.uint32)
+    ibz = ibias[:, zz].astype(jnp.uint32)
+    qz = quant[:, zz].astype(jnp.int32)
+
+    V = jnp.abs(cz)
+    neg = cz < 0
+    # plain bias quantizer (uint32 wrap exactly like ops.quantize)
+    v0 = ((V.astype(jnp.uint32) + ibz) * iqz >> C.FP_BITS).astype(
+        jnp.int32) >> C.AC_BITS
+    q16 = (qz << C.AC_BITS).astype(jnp.uint32)       # quant << 4
+    lam = (q16 * q16) // jnp.uint32(32)              # mod 2^32
+    vv = V.astype(jnp.uint32) * V.astype(jnp.uint32)
+    vv = vv.at[:, 0].set(0)
+    disto0 = jnp.cumsum(vv, axis=1)                  # wrapping prefix sums
+    nb0 = _bit_length(v0)
+    esc_len = lt[:, 15, 0]                           # sym 0xF0
+
+    # static per-lane predecessor positions: pos_k = (127 - k) // 2 for
+    # real nodes, 0 for the sink (k=126) and the pad (k=127, masked)
+    ks = jnp.arange(128, dtype=jnp.int32)
+    pos_k = jnp.where(ks <= 125, (127 - ks) // 2, 0)
+    D = disto0[:, pos_k]                             # [N, 128] uint32
+
+    sign = jnp.where(neg, -1, 1).astype(jnp.int32)
+
+    def step(carry, x):
+        S, valid, prev, level = carry
+        (i, V_i, v0_i, nb0_i, q_i, lam_i, d0p_i, sg_i) = x
+        # candidates: c=0 full value, c=1 largest one bit shorter
+        nb1 = nb0_i - 1
+        v1 = (jnp.int32(1) << jnp.maximum(nb1, 0)) - 1
+        vc = jnp.stack([v0_i, v1], axis=1)           # [N, 2]
+        nbc = jnp.stack([nb0_i, nb1], axis=1)
+        exist = jnp.stack([v0_i > 0, (v0_i > 0) & (nb0_i > 1)], axis=1)
+
+        err = V_i[:, None] - vc * (q_i[:, None] << C.AC_BITS)
+        cd = err.astype(jnp.uint32) * err.astype(jnp.uint32)
+        base = cd + d0p_i.astype(jnp.uint32)[:, None]          # [N, 2]
+
+        # per-candidate AC lengths for each run&15 (masked accumulate
+        # over the 11 possible size classes; LT[n, r15, s])
+        aclen = jnp.zeros((N, 2, 16), jnp.int32)
+        for s in range(1, 12):
+            aclen = aclen + jnp.where(
+                (nbc == s)[:, :, None], lt[:, None, :, s], 0)
+
+        run = (i - 1) - pos_k                        # [128] traced
+        run15 = run & 15
+        resc = run >> 4
+        bits = jnp.zeros((N, 2, 128), jnp.int32)
+        for r in range(16):
+            bits = bits + jnp.where((run15 == r)[None, None, :],
+                                    aclen[:, :, r][:, :, None], 0)
+        bits = (bits + nbc[:, :, None]
+                + resc[None, None, :] * esc_len[:, None, None])
+
+        score = (base[:, :, None] - D[:, None, :]
+                 + lam_i.astype(jnp.uint32)[:, None, None]
+                 * bits.astype(jnp.uint32) + S[:, None, :])
+        ok = valid[:, None, :] & (ks >= 128 - 2 * i)[None, None, :]
+        score = jnp.where(ok, score, _KMAX)
+        best = jnp.min(score, axis=2)                # [N, 2]
+        arg = jnp.argmin(score, axis=2).astype(jnp.int32)
+        newv = exist & (best < _KMAX)
+
+        lvl = sg_i[:, None] * vc
+        # write the two lanes (cand0 at 127-2i, cand1 at 126-2i) with
+        # elementwise selects — a dynamic-lane-offset update_slice inside
+        # the scan wedges the TPU runtime (axon backend) after program
+        # switches, and lowers poorly anyway
+        sel0 = (ks == 127 - 2 * i)[None, :]
+        sel1 = (ks == 126 - 2 * i)[None, :]
+
+        def upd(a, x2):
+            return jnp.where(sel0, x2[:, 0:1],
+                             jnp.where(sel1, x2[:, 1:2], a))
+
+        S = upd(S, best)
+        valid = upd(valid, newv)
+        prev = upd(prev, arg)
+        level = upd(level, lvl)
+        return (S, valid, prev, level), None
+
+    ii = jnp.arange(1, 64, dtype=jnp.int32)
+    xs = (ii, V.T[1:], v0.T[1:], nb0.T[1:], qz.T[1:], lam.T[1:],
+          disto0.T[:63], sign.T[1:])
+    S0 = jnp.zeros((N, 128), jnp.uint32)
+    valid0 = jnp.zeros((N, 128), jnp.bool_).at[:, _SINK].set(True)
+    prev0 = jnp.zeros((N, 128), jnp.int32)
+    level0 = jnp.zeros((N, 128), jnp.int32)
+    (S, valid, prev, level), _ = jax.lax.scan(
+        step, (S0, valid0, prev0, level0), xs)
+
+    # backward pass: add the tail distortion, pick the best end node
+    tail = disto0[:, 63:64] - D
+    fin = jnp.where(valid, S + tail, _KMAX)
+    a = jnp.argmin(fin, axis=1).astype(jnp.int32)
+    minv = jnp.min(fin, axis=1)
+    cur = jnp.where(minv < _KMAX, a, jnp.int32(_SINK))
+
+    # backtrace: emit each chosen node's level at its zigzag position
+    out_z = jnp.zeros((N, 64), jnp.int32)
+    lane = jnp.arange(64, dtype=jnp.int32)
+
+    def back(_, st):
+        out_z, cur = st
+        sel = (ks[None, :] == cur[:, None])
+        lvl = jnp.sum(jnp.where(sel, level, 0), axis=1)
+        nxt = jnp.sum(jnp.where(sel, prev, 0), axis=1)
+        p = (127 - cur) // 2
+        p = jnp.where(cur >= _SINK, 0, p)
+        act = p > 0
+        out_z = out_z + jnp.where(
+            act[:, None] & (lane[None, :] == p[:, None]), lvl[:, None], 0)
+        cur = jnp.where(act, nxt, cur)
+        return out_z, cur
+
+    out_z, _ = jax.lax.fori_loop(0, 63, back, (out_z, cur))
+
+    # DC: plain bias quantization
+    dmag = ((jnp.abs(coeffs[:, 0]).astype(jnp.uint32) + ibias[:, 0]
+             .astype(jnp.uint32)) * iquant[:, 0].astype(jnp.uint32)
+            >> C.FP_BITS).astype(jnp.int32) >> C.AC_BITS
+    dc = jnp.where(coeffs[:, 0] < 0, -dmag, dmag)
+    out_z = out_z.at[:, 0].set(dc)
+
+    # un-zigzag back to raster order
+    inv = jnp.zeros(64, jnp.int32).at[zz].set(
+        jnp.arange(64, dtype=jnp.int32))
+    return out_z[:, inv]
+
+
+# ---------------------------------------------------------------------------
+# Fixed-shape chunked driver
+# ---------------------------------------------------------------------------
+# TPU-runtime defect observed through the axon relay: once a trellis-scan
+# executable for N_a blocks has run, re-running a previously-used SMALLER
+# trellis executable (N_b < N_a) poisons the device — every subsequent
+# device op fails with INVALID_ARGUMENT until the process restarts
+# (reproduced with plain jnp programs, no Pallas involved; same-shape
+# reruns and single runs of many shapes are fine).  Routing every trellis
+# call through ONE fixed [TILE, 64] executable sidesteps executable
+# switching entirely, and also bounds the scan's working set.
+
+TILE = 8192
+
+
+@jax.jit
+def _trellis_tile(cinter, iquant, ibias, quant, group, lt_lens):
+    lt = ac_len_table(lt_lens, group)
+    return trellis_quantize_blocks_jax(cinter, iquant, ibias, quant, lt)
+
+
+@jax.jit
+def _tile_slice(x, start):
+    return jax.lax.dynamic_slice_in_dim(x, start, TILE, axis=0)
+
+
+def trellis_quantize_tiled(cinter, iquant, ibias, quant, group, lt_lens):
+    """[N, 64] blocks -> [N, 64] trellis-quantized, in TILE-row chunks.
+
+    iquant/ibias/quant are per-block [N, 64] rows, group is the [N]
+    table-group row, lt_lens the [2, 256] AC code-length table.  On CPU
+    (tests) this is a single exact-shape call; on TPU every chunk reuses
+    the one [TILE, 64] executable (see defect note above)."""
+    N = cinter.shape[0]
+    if jax.default_backend() == "cpu":
+        lt = ac_len_table(lt_lens, group)
+        return trellis_quantize_blocks_jax(cinter, iquant, ibias, quant, lt)
+    n_chunks = -(-N // TILE)
+    pad = n_chunks * TILE - N
+    if pad:
+        cinter = jnp.pad(cinter, ((0, pad), (0, 0)))
+        iquant = jnp.pad(iquant, ((0, pad), (0, 0)), constant_values=1)
+        ibias = jnp.pad(ibias, ((0, pad), (0, 0)))
+        quant = jnp.pad(quant, ((0, pad), (0, 0)), constant_values=1)
+        group = jnp.pad(group, (0, pad))
+    outs = []
+    for k in range(n_chunks):
+        start = jnp.int32(k * TILE)
+        outs.append(_trellis_tile(
+            _tile_slice(cinter, start), _tile_slice(iquant, start),
+            _tile_slice(ibias, start), _tile_slice(quant, start),
+            _tile_slice(group, start), lt_lens))
+    q = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=0)
+    return q[:N] if pad else q

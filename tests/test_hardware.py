@@ -24,11 +24,28 @@ from conftest import make_test_image
 
 @pytest.mark.parametrize("size", [(64, 64), (97, 65), (129, 17)])
 @pytest.mark.parametrize("mode", [C.YUV_420, C.YUV_444, C.YUV_400])
-@pytest.mark.parametrize("method", [0, 4])
+@pytest.mark.parametrize("method", [0, 4, 7])
 def test_device_matches_oracle_on_hardware(size, mode, method):
     w, h = size
     img = make_test_image(w, h, seed=w * h)
     p = EncoderParam(quality=75, yuv_mode=mode,
-                     huffman_compress=(method == 4),
-                     adaptive_quantization=(method == 4))
+                     huffman_compress=(method != 0),
+                     adaptive_quantization=(method != 0),
+                     use_trellis=(method == 7))
     assert encode_rgb(img, p) == host_encode_rgb(img, p)
+
+
+@pytest.mark.parametrize("method", [0, 4, 7])
+def test_batched_matches_per_image_on_hardware(method):
+    from sjpeg_tpu.engine import encode_batch
+    rng = np.random.RandomState(31)
+    imgs = rng.randint(0, 256, (4, 80, 72, 3), dtype=np.uint8)
+    imgs[1] //= 4
+    imgs[2] = np.minimum(255, imgs[2] // 8 + 180)
+    p = EncoderParam(quality=80, yuv_mode=C.YUV_420,
+                     huffman_compress=(method != 0),
+                     adaptive_quantization=(method != 0),
+                     use_trellis=(method == 7))
+    outs = encode_batch(imgs, p)
+    for i in range(len(imgs)):
+        assert outs[i] == encode_rgb(imgs[i], p), i

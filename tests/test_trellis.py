@@ -23,6 +23,76 @@ def test_trellis_byte_exact(reference_bin, ppm_dir, quality, size):
     assert host_encode_rgb(rgb, p) == ref
 
 
+def test_device_trellis_kernel_matches_oracle():
+    """ops.trellis (vectorized lax.scan Viterbi) is bit-exact vs the
+    per-block host oracle across qualities and both table groups."""
+    import jax.numpy as jnp
+    from sjpeg_tpu import spec
+    from sjpeg_tpu.huffman import build_code_lut, k3_default_tables
+    from sjpeg_tpu.ops import trellis as dtr
+
+    rng = np.random.RandomState(11)
+    defaults = k3_default_tables()
+    luts = [build_code_lut(defaults[2], 256),
+            build_code_lut(defaults[3], 256)]
+    lens = np.stack([l & 0xFF for l in luts]).astype(np.int32)
+
+    for quality in (25, 75, 92):
+        param = EncoderParam(quality=quality)
+        qmats = param.resolved_quant_matrices()
+        minq = param.resolved_min_quant_matrices()
+        qms = [spec.finalize_quant_matrix(qmats[g], minq[g],
+                                          param.quantization_bias)
+               for g in range(2)]
+        N = 64
+        coeffs = (rng.randint(-40, 40, (N, 64))
+                  * rng.choice([0, 1, 1, 1, 16, 64], (N, 64))
+                  ).astype(np.int32)
+        coeffs[:8] = rng.randint(-16384, 16384, (8, 64))
+        coeffs[8:10] = 0
+        group = rng.randint(0, 2, N).astype(np.int32)
+
+        want = np.empty((N, 64), np.int32)
+        for n in range(N):
+            g = int(group[n])
+            want[n] = spec.trellis_quantize_block(
+                coeffs[n], qms[g], qms[g]["quant"], luts[g])
+
+        sel = lambda k: np.where(group[:, None] == 0, qms[0][k][None],
+                                 qms[1][k][None]).astype(np.int32)
+        qq = np.where(group[:, None] == 0, qms[0]["quant"][None],
+                      qms[1]["quant"][None]).astype(np.int32)
+        lt = dtr.ac_len_table(jnp.asarray(lens), jnp.asarray(group))
+        got = np.asarray(dtr.trellis_quantize_blocks_jax(
+            jnp.asarray(coeffs), jnp.asarray(sel("iquant")),
+            jnp.asarray(sel("bias")), jnp.asarray(qq), lt))
+        np.testing.assert_array_equal(got, want, err_msg=f"q={quality}")
+
+
+@pytest.mark.parametrize("mode", [C.YUV_420, C.YUV_444, C.YUV_400])
+def test_device_trellis_encode_matches_host(mode):
+    """engine.encode_rgb method 7 (device trellis path) is
+    byte-identical to the host orchestrator (itself byte-exact vs the
+    reference binary, test_trellis_byte_exact)."""
+    from sjpeg_tpu.engine import encode_rgb
+    rgb = make_test_image(49, 35, seed=5)
+    p = EncoderParam(quality=78, yuv_mode=mode, use_trellis=True)
+    assert encode_rgb(rgb, p) == host_encode_rgb(rgb, p), mode
+
+
+def test_encode_batch_trellis_byte_identical():
+    """Batched trellis encode = per-image trellis encode, byte-exact."""
+    from sjpeg_tpu.engine import encode_batch, encode_rgb
+    rng = np.random.RandomState(9)
+    imgs = rng.randint(0, 256, (3, 48, 40, 3), dtype=np.uint8)
+    imgs[1] //= 4
+    imgs[2] = np.minimum(255, imgs[2] // 8 + 180)
+    p = EncoderParam(quality=83, yuv_mode=C.YUV_420, use_trellis=True)
+    outs = encode_batch(imgs, p)
+    for i in range(len(imgs)):
+        assert outs[i] == encode_rgb(imgs[i], p), i
+
+
 def test_trellis_improves_rate_distortion():
     """Trellis should not produce larger files at matched settings."""
     rgb = make_test_image(64, 64, seed=3)
