@@ -15,6 +15,7 @@ the transform (the device equivalent of the reference's use_extra_memory
 coefficient cache, src/enc.cc:1605).
 """
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -23,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants as C
-from . import headers, pipeline, spec
+from . import headers, pipeline, sharp_yuv_device, spec
 from .adaptive import analyse_histo
 from .bitio import stuff_bytes
 from .huffman import (build_code_lut, k3_default_tables,
@@ -51,7 +52,10 @@ def _stage_coeffs(rgb, yuv_mode: int, width: int, height: int,
                    + quantize.store_histo(coeffs[2]))
     else:
         histo_c = jnp.zeros_like(histo_l)
-    return coeffs, (histo_l, histo_c)
+    # flattened: a [64, bins] jit output gets a tiled device layout that
+    # the transfer path fetches catastrophically slowly (~1000x); the 1-D
+    # copy is dense and fetches at line rate
+    return coeffs, (histo_l.reshape(-1), histo_c.reshape(-1))
 
 
 @functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
@@ -69,7 +73,10 @@ def _stage_coeffs_planes(planes, yuv_mode: int, width: int, height: int,
                    + quantize.store_histo(coeffs[2]))
     else:
         histo_c = jnp.zeros_like(histo_l)
-    return coeffs, (histo_l, histo_c)
+    # flattened: a [64, bins] jit output gets a tiled device layout that
+    # the transfer path fetches catastrophically slowly (~1000x); the 1-D
+    # copy is dense and fetches at line rate
+    return coeffs, (histo_l.reshape(-1), histo_c.reshape(-1))
 
 
 def _per_image_quantize(coef, iq_g, ib_g, n_images):
@@ -250,29 +257,50 @@ def _grouped_stats(rl, dc_codes, group, n_images: int = 1):
     """Per-table-group symbol frequencies from interleaved VLC fields.
 
     With n_images > 1 (rows image-major, equal blocks per image) the
-    statistics segment per image: returns ([B, 2, 12], [B, 2, 256])."""
+    statistics segment per image: returns ([B, 2, 12], [B, 2, 256]).
+
+    Counting-as-matmul: the 8-bit AC symbol splits into hi/lo nibbles;
+    the table group rides along in the hi one-hot (32 rows = 2 groups x
+    16 hi nibbles), so freq[b, g, s] is one int8 dot_general per position
+    chunk on the MXU — no serialized XLA scatter."""
     nz = rl["nz"]
     n = nz.shape[0]
-    per_img = n // n_images
-    img = jnp.arange(n, dtype=jnp.int32) // per_img
-    g2 = img * 2 + group                                   # [N] set index
-    n_sets = 2 * n_images
-    sym = ((rl["run"] & 15) << 4) | rl["size"]
-    sym = jnp.where(nz, g2[:, None] * 257 + sym, n_sets * 257)
-    freq_ac2 = jnp.zeros(n_sets * 257 + 1, dtype=jnp.int32)
-    freq_ac2 = freq_ac2.at[sym.reshape(-1)].add(1)
-    esc = jnp.where(nz, rl["run"] >> 4, 0).sum(axis=1)
-    eobs = (rl["last"] < 63).astype(jnp.int32)
-    freq_ac2 = freq_ac2.at[g2 * 257 + 0xF0].add(esc)
-    freq_ac2 = freq_ac2.at[g2 * 257 + 0x00].add(eobs)
-    freq_ac = freq_ac2[: n_sets * 257].reshape(n_sets, 257)[:, :256]
-    dc_idx = g2 * 13 + (dc_codes & 0x0F)
-    freq_dc2 = jnp.zeros(n_sets * 13, dtype=jnp.int32).at[dc_idx].add(1)
-    freq_dc = freq_dc2.reshape(n_sets, 13)[:, :12]
+    per = n // n_images
+    sym = (((rl["run"] & 15) << 4) | rl["size"]).astype(jnp.int32)
+    ghi = (group[:, None] * 16 + (sym >> 4)).reshape(n_images, per, 64)
+    lo = (sym & 15).reshape(n_images, per, 64)
+    nz3 = nz.reshape(n_images, per, 64)
+    hi_iota = jnp.arange(32, dtype=jnp.int32)
+    lo_iota = jnp.arange(16, dtype=jnp.int32)
+    acc = None
+    for p0 in range(0, 64, 8):       # position chunks bound the one-hots
+        e_hi = ((ghi[:, :, p0:p0 + 8, None] == hi_iota)
+                & nz3[:, :, p0:p0 + 8, None]).astype(jnp.int8)
+        e_lo = (lo[:, :, p0:p0 + 8, None] == lo_iota).astype(jnp.int8)
+        cnt = jax.lax.dot_general(
+            e_hi, e_lo, (((1, 2), (1, 2)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)      # [B, 32, 16]
+        acc = cnt if acc is None else acc + cnt
+    freq_ac = acc.reshape(n_images, 2, 256)
+
+    g3 = group.reshape(n_images, per)
+    esc = jnp.where(nz, rl["run"] >> 4, 0).sum(axis=1).reshape(n_images, per)
+    eobs = (rl["last"] < 63).astype(jnp.int32).reshape(n_images, per)
+    in_g1 = (g3 == 1)
+    esc_g = jnp.stack([jnp.where(in_g1, 0, esc).sum(axis=1),
+                       jnp.where(in_g1, esc, 0).sum(axis=1)], axis=1)
+    eob_g = jnp.stack([jnp.where(in_g1, 0, eobs).sum(axis=1),
+                       jnp.where(in_g1, eobs, 0).sum(axis=1)], axis=1)
+    freq_ac = freq_ac.at[:, :, 0xF0].add(esc_g)
+    freq_ac = freq_ac.at[:, :, 0x00].add(eob_g)
+
+    dci = (g3 * 13 + (dc_codes.reshape(n_images, per) & 0x0F))
+    e_dc = (dci[..., None] == jnp.arange(26, dtype=jnp.int32)).astype(
+        jnp.int32)
+    freq_dc = e_dc.sum(axis=1).reshape(n_images, 2, 13)[:, :, :12]
     if n_images == 1:
-        return freq_dc, freq_ac
-    return (freq_dc.reshape(n_images, 2, 12),
-            freq_ac.reshape(n_images, 2, 256))
+        return freq_dc[0], freq_ac[0]
+    return freq_dc, freq_ac
 
 
 @functools.partial(jax.jit, static_argnames=("with_stats", "nb_blocks"))
@@ -305,13 +333,13 @@ def _stage_pack(vlc_state, dc_luts, ac_luts):
     return pack.concat_block_streams(words, bit_lens)
 
 
-def _encode_core_body(rgb, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
+def _encode_core_body(src, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
                       width: int, height: int, nb_blocks, n_images: int = 1,
-                      bucket=None):
-    """Fused encode body: RGB (single image or image-major batch) ->
-    (stream words, total bits).  Batching is pure data parallelism on the
-    flat block axis — no vmap; DC chains and bit offsets reset per image by
-    reshaping that axis.
+                      bucket=None, src_kind: str = "rgb"):
+    """Fused encode body: RGB or planar-YUV source (single image or
+    image-major batch) -> (stream words, total bits).  Batching is pure
+    data parallelism on the flat block axis — no vmap; DC chains and bit
+    offsets reset per image by reshaping that axis.
 
     Layout note: components interleave into MCU order right after
     quantization, at the [N, 64] level (lane-aligned, cheap concat); VLC
@@ -320,7 +348,10 @@ def _encode_core_body(rgb, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
     entry concat used to force a transposed relayout that dominated the
     whole program).
     """
-    blocks = colorspace.rgb_to_blocks(rgb, yuv_mode, width, height)
+    if src_kind == "planes":
+        blocks = colorspace.planes_to_blocks(src, yuv_mode, width, height)
+    else:
+        blocks = colorspace.rgb_to_blocks(src, yuv_mode, width, height)
     coeffs = [fdct.fdct_blocks(b) for b in blocks]
 
     on_tpu = jax.default_backend() != "cpu"
@@ -347,25 +378,28 @@ def _encode_core_body(rgb, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
 
 
 @functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
-                                             "nb_blocks"))
-def encode_core(rgb, iquant, ibias, dc_luts, ac_luts, *, yuv_mode: int,
-                width: int, height: int, nb_blocks):
-    """Fused single-dispatch encode: RGB -> (stream words, total bits).
+                                             "nb_blocks", "src_kind"))
+def encode_core(src, iquant, ibias, dc_luts, ac_luts, *, yuv_mode: int,
+                width: int, height: int, nb_blocks, src_kind: str = "rgb"):
+    """Fused single-dispatch encode: RGB (or a (y, u, v)/(y,) plane tuple
+    with src_kind="planes") -> (stream words, total bits).
 
     The fixed-table path (no adaptive quant, no two-pass Huffman) as one XLA
     program: layout, color conversion, fDCT, quantization, VLC and bit
     packing fuse into a single device launch.  This is the flagship hot
     path benchmarked against the reference encoder.
     """
-    return _encode_core_body(rgb, iquant, ibias, dc_luts, ac_luts, yuv_mode,
-                             width, height, nb_blocks)
+    return _encode_core_body(src, iquant, ibias, dc_luts, ac_luts, yuv_mode,
+                             width, height, nb_blocks, src_kind=src_kind)
 
 
 @functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
-                                             "nb_blocks", "bucket"))
-def encode_batch_core(rgbs, iquant, ibias, dc_luts, ac_luts, *,
+                                             "nb_blocks", "bucket",
+                                             "src_kind", "n_images"))
+def encode_batch_core(src, iquant, ibias, dc_luts, ac_luts, *,
                       yuv_mode: int, width: int, height: int, nb_blocks,
-                      bucket: int):
+                      bucket: int, src_kind: str = "rgb",
+                      n_images: int = None):
     """Batched fused encode: [B, H, W, 3] -> ([B, bucket] words, [B] bits).
 
     One dispatch and one device->host fetch for the whole batch; `bucket`
@@ -373,9 +407,12 @@ def encode_batch_core(rgbs, iquant, ibias, dc_luts, ac_luts, *,
     caller sizes the bucket from the expected bits/pixel — are detected via
     the exact totals and refetched through the unbatched path).
     """
-    return _encode_core_body(rgbs, iquant, ibias, dc_luts, ac_luts,
+    if n_images is None:
+        n_images = src.shape[0] if src_kind == "rgb" else src[0].shape[0]
+    return _encode_core_body(src, iquant, ibias, dc_luts, ac_luts,
                              yuv_mode, width, height, nb_blocks,
-                             n_images=rgbs.shape[0], bucket=bucket)
+                             n_images=n_images, bucket=bucket,
+                             src_kind=src_kind)
 
 
 def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
@@ -396,14 +433,46 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
     build stays O(1) per batch.  Set `param.passes` <= 1.
     """
     param = param or EncoderParam()
-    flags = method_flags(param.method)
-    if flags["use_adaptive_quant"] or flags["optimize_size"]:
-        return _encode_batch_optimized(rgbs, param, bits_per_pixel_budget,
-                                       share_statistics=share_statistics)
     b, h, w = rgbs.shape[:3]
     yuv_mode = param.yuv_mode
-    if yuv_mode in (C.YUV_AUTO, C.YUV_SHARP):
+    src, src_kind = rgbs, "rgb"
+    if yuv_mode == C.YUV_AUTO:
+        # per-image riskiness decisions on device (reference semantics:
+        # each image picks its own mode, src/enc.cc:2132-2154); the batch
+        # splits into per-mode sub-batches
+        from .ops import riskiness as dev_risk
+        ss, cc, gg = jax.device_get(dev_risk.risk_stats(jnp.asarray(rgbs)))
+        modes = [dev_risk.finish_riskiness(ss[i], cc[i], gg[i], w, h)[0]
+                 for i in range(b)]
+        groups = {}
+        for i, m in enumerate(modes):
+            groups.setdefault(m, []).append(i)
+        if len(groups) > 1:
+            out = [None] * b
+            for m, idxs in groups.items():
+                sub = np.ascontiguousarray(np.asarray(rgbs)[idxs])
+                p2 = dataclasses.replace(param, yuv_mode=m)
+                res = encode_batch(sub, p2, bits_per_pixel_budget,
+                                   share_statistics)
+                for j, i in enumerate(idxs):
+                    out[i] = res[j]
+            return out
+        yuv_mode = next(iter(groups))
+    if yuv_mode == C.YUV_SHARP:
+        core = functools.partial(sharp_yuv_device._sharp_core,
+                                 width=w, height=h)
+        if min(w, h) <= sharp_yuv_device.MIN_DIMENSION:
+            core = functools.partial(sharp_yuv_device._simple_core,
+                                     width=w, height=h)
+        y, u, v = jax.vmap(core)(jnp.asarray(rgbs))
+        src, src_kind = (y, u, v), "planes"
         yuv_mode = C.YUV_420
+    flags = method_flags(param.method)
+    if flags["use_adaptive_quant"] or flags["optimize_size"]:
+        return _encode_batch_optimized(src, param, bits_per_pixel_budget,
+                                       share_statistics=share_statistics,
+                                       yuv_mode=yuv_mode, width=w, height=h,
+                                       src_kind=src_kind)
     layout = pipeline.component_layout(yuv_mode, w, h)
     qmats = param.resolved_quant_matrices()
     min_qmats = param.resolved_min_quant_matrices()
@@ -420,9 +489,12 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
     bucket = int(min(max_words,
                      max(4096, w * h * bits_per_pixel_budget / 32)))
 
+    if src_kind == "rgb":
+        src = jnp.asarray(src)
     words, totals = encode_batch_core(
-        jnp.asarray(rgbs), iq, ib, dc_luts, ac_luts, yuv_mode=yuv_mode,
-        width=w, height=h, nb_blocks=tuple(layout.nb_blocks), bucket=bucket)
+        src, iq, ib, dc_luts, ac_luts, yuv_mode=yuv_mode,
+        width=w, height=h, nb_blocks=tuple(layout.nb_blocks), bucket=bucket,
+        src_kind=src_kind, n_images=b)
     totals_np = np.asarray(totals)
     words_np = np.asarray(words)
 
@@ -430,10 +502,13 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
     for i in range(b):
         total_bits = int(totals_np[i])
         if total_bits > bucket * 32:      # bucket overflow: slow refetch
-            wi, ti = encode_core(jnp.asarray(rgbs[i]), iq, ib, dc_luts,
+            one = (jnp.asarray(src[i]) if src_kind == "rgb"
+                   else tuple(p[i] for p in src))
+            wi, ti = encode_core(one, iq, ib, dc_luts,
                                  ac_luts, yuv_mode=yuv_mode, width=w,
                                  height=h,
-                                 nb_blocks=tuple(layout.nb_blocks))
+                                 nb_blocks=tuple(layout.nb_blocks),
+                                 src_kind=src_kind)
             scan = _finalize_scan_bytes(wi, int(ti))
         else:
             scan = _finalize_scan_bytes(words_np[i], total_bits)
@@ -442,12 +517,17 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
 
 
 @functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
-                                             "with_histo", "n_images"))
-def _stage_batch_coeffs(rgbs, yuv_mode: int, width: int, height: int,
-                        with_histo: bool, n_images: int = 1):
-    """Batched RGB -> interleavable coefficients (+ per-image histograms
-    when n_images > 1, else batch-summed)."""
-    blocks = colorspace.rgb_to_blocks(rgbs, yuv_mode, width, height)
+                                             "with_histo", "n_images",
+                                             "src_kind"))
+def _stage_batch_coeffs(src, yuv_mode: int, width: int, height: int,
+                        with_histo: bool, n_images: int = 1,
+                        src_kind: str = "rgb"):
+    """Batched RGB (or planar-YUV tuple) -> interleavable coefficients
+    (+ per-image histograms when n_images > 1, else batch-summed)."""
+    if src_kind == "planes":
+        blocks = colorspace.planes_to_blocks(src, yuv_mode, width, height)
+    else:
+        blocks = colorspace.rgb_to_blocks(src, yuv_mode, width, height)
     coeffs = [fdct.fdct_blocks(b) for b in blocks]
     if not with_histo:
         return coeffs, None
@@ -457,7 +537,8 @@ def _stage_batch_coeffs(rgbs, yuv_mode: int, width: int, height: int,
                    + quantize.store_histo(coeffs[2], n_images))
     else:
         histo_c = jnp.zeros_like(histo_l)
-    return coeffs, (histo_l, histo_c)
+    # flat 1-D outputs fetch dense (see _stage_coeffs layout note)
+    return coeffs, (histo_l.reshape(-1), histo_c.reshape(-1))
 
 
 @functools.partial(jax.jit, static_argnames=("with_stats", "nb_blocks",
@@ -542,9 +623,11 @@ def _slice_vlc_state(vlc_state, i, per_img: int):
     return ({k: sl(v) for k, v in rl.items()}, sl(dc_codes), sl(group))
 
 
-def _encode_batch_optimized(rgbs, param: EncoderParam,
+def _encode_batch_optimized(src, param: EncoderParam,
                             bits_per_pixel_budget: float,
-                            share_statistics: bool = False):
+                            share_statistics: bool = False,
+                            yuv_mode: int = None, width: int = None,
+                            height: int = None, src_kind: str = "rgb"):
     """Batched two-pass Huffman / adaptive-quant encode.
 
     Default is reference-parity per-image optimization (per-image
@@ -554,10 +637,16 @@ def _encode_batch_optimized(rgbs, param: EncoderParam,
     statistics — a deliberate deviation knob (SURVEY §7.3) that keeps the
     host table build O(1) per batch."""
     flags = method_flags(param.method)
-    b, h, w = rgbs.shape[:3]
-    yuv_mode = param.yuv_mode
-    if yuv_mode in (C.YUV_AUTO, C.YUV_SHARP):
-        yuv_mode = C.YUV_420
+    if src_kind == "rgb":
+        b, h, w = src.shape[:3]
+        src = jnp.asarray(src)
+    else:
+        b = src[0].shape[0]
+        h, w = height, width
+    if yuv_mode is None:
+        yuv_mode = param.yuv_mode
+        if yuv_mode in (C.YUV_AUTO, C.YUV_SHARP):
+            yuv_mode = C.YUV_420
     layout = pipeline.component_layout(yuv_mode, w, h)
     qmats = param.resolved_quant_matrices().copy()
     min_qmats = param.resolved_min_quant_matrices()
@@ -568,9 +657,9 @@ def _encode_batch_optimized(rgbs, param: EncoderParam,
     defaults = k3_default_tables()
 
     coeffs, histos = _stage_batch_coeffs(
-        jnp.asarray(rgbs), yuv_mode=yuv_mode, width=w, height=h,
+        src, yuv_mode=yuv_mode, width=w, height=h,
         with_histo=flags["use_adaptive_quant"],
-        n_images=1 if share_statistics else b)
+        n_images=1 if share_statistics else b, src_kind=src_kind)
 
     def tune(histo_pair):
         qms = list(base_qms)
@@ -585,12 +674,15 @@ def _encode_batch_optimized(rgbs, param: EncoderParam,
         return qms
 
     if share_statistics:
-        qms = (tune([np.asarray(histos[0]), np.asarray(histos[1])])
+        qms = (tune([np.asarray(histos[0]).reshape(64, -1),
+                     np.asarray(histos[1]).reshape(64, -1)])
                if flags["use_adaptive_quant"] else base_qms)
         per_qms = [qms] * b
         iq, ib = _quant_device_arrays(qms)
     elif flags["use_adaptive_quant"]:
-        hl, hc = np.asarray(histos[0]), np.asarray(histos[1])
+        # reshape: a size-1 sub-batch comes back unbatched
+        hl = np.asarray(histos[0]).reshape(b, 64, -1)
+        hc = np.asarray(histos[1]).reshape(b, 64, -1)
         per_qms = [tune([hl[i], hc[i]]) for i in range(b)]
         iq = jnp.asarray(np.stack(
             [[q["iquant"] for q in qms] for qms in per_qms]
@@ -633,8 +725,8 @@ def _encode_batch_optimized(rgbs, param: EncoderParam,
             per_tables = [tables] * b
             dc_luts, ac_luts = _device_luts(tables)
         else:
-            fdc = np.asarray(freqs[0]).astype(np.int64)
-            fac = np.asarray(freqs[1]).astype(np.int64)
+            fdc = np.asarray(freqs[0]).astype(np.int64).reshape(b, 2, 12)
+            fac = np.asarray(freqs[1]).astype(np.int64).reshape(b, 2, 256)
             per_tables = []
             for i in range(b):
                 t = optimal_tables_from_freqs(fdc[i], fac[i], n_groups)
@@ -731,8 +823,8 @@ def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
     n_groups = 2 if layout.nb_comps > 1 else 1
     nb_blocks = tuple(layout.nb_blocks)
     histos_np = (None if histos is None else
-                 [np.asarray(histos[0]).astype(np.int64),
-                  np.asarray(histos[1]).astype(np.int64)])
+                 [np.asarray(histos[0]).astype(np.int64).reshape(64, -1),
+                  np.asarray(histos[1]).astype(np.int64).reshape(64, -1)])
 
     best = 0.0
     best_q = 0.0
@@ -903,7 +995,8 @@ def _encode_blocks_device(get_coeffs, layout, param: EncoderParam) -> bytes:
            for i in range(2)]
 
     if flags["use_adaptive_quant"]:
-        histo_l, histo_c = np.asarray(histos[0]), np.asarray(histos[1])
+        histo_l = np.asarray(histos[0]).reshape(64, -1)
+        histo_c = np.asarray(histos[1]).reshape(64, -1)
         n_groups = 2 if layout.nb_comps > 1 else 1
         group_histos = [histo_l, histo_c]
         for g in range(n_groups - 1, -1, -1):
@@ -976,17 +1069,19 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
         from . import host_encoder
         return host_encoder.encode_rgb(rgb, param)
     yuv_mode = param.yuv_mode
+    dev_rgb = jnp.asarray(rgb)
     if yuv_mode == C.YUV_AUTO:
-        from .riskiness import auto_yuv_mode
-        yuv_mode = auto_yuv_mode(rgb)
+        # riskiness reduction on the device copy (ops/riskiness.py);
+        # only three scalars come back to pick the mode
+        from .ops.riskiness import riskiness_device
+        yuv_mode, _ = riskiness_device(dev_rgb)
     if yuv_mode == C.YUV_SHARP:
         # device-resident sharp conversion (plane-exact vs the host
         # oracle); the planes feed encode_yuv without leaving the chip
         from .sharp_yuv_device import sharp_rgb_to_yuv420_device
-        y, u, v = sharp_rgb_to_yuv420_device(rgb)
+        y, u, v = sharp_rgb_to_yuv420_device(dev_rgb)
         return encode_yuv(y, u, v, is_420=True, param=param)
     layout = pipeline.component_layout(yuv_mode, w, h)
-    dev_rgb = jnp.asarray(rgb)
 
     flags = method_flags(param.method)
     if not flags["use_adaptive_quant"] and not flags["optimize_size"]:
