@@ -28,6 +28,12 @@ def encode_batch(rgbs, param=None) -> list:
     return _eb(rgbs, param)
 
 
+def encode_batch_sharded(rgbs, param=None, mesh=None, **kw) -> list:
+    """Encode a batch over a (dp, sp) device mesh (multi-chip path)."""
+    from .parallel.api import encode_batch_sharded as _ebs
+    return _ebs(rgbs, param, mesh=mesh, **kw)
+
+
 def encode(rgb, param=None, backend: str = "auto") -> bytes:
     """Encode an RGB uint8 image to baseline JPEG.
 
@@ -40,7 +46,8 @@ def encode(rgb, param=None, backend: str = "auto") -> bytes:
 
 
 __all__ = [
-    "EncoderParam", "SearchHook", "encode", "encode_batch", "version",
+    "EncoderParam", "SearchHook", "encode", "encode_batch",
+    "encode_batch_sharded", "version",
     "host_encode_rgb", "host_encode_gray", "host_encode_yuv",
     "dimensions", "estimate_quality", "find_quantizer", "quant_matrix",
     "YUV_AUTO", "YUV_420", "YUV_SHARP", "YUV_444", "YUV_400",

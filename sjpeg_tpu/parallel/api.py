@@ -1,0 +1,297 @@
+"""Public sharded encode API: JPEGs out of a (dp, sp) device mesh.
+
+`encode_batch_sharded` runs the full encode pipeline — including adaptive
+quantization and per-image two-pass Huffman optimization — under
+`shard_map` over a 2-D mesh (dp = images, sp = MCU-row stripes within an
+image; SURVEY §5.7-8), producing byte streams identical to the serial
+`engine.encode_batch`.  The three sharded stages mirror the unsharded
+engine's staged pipeline and reuse its kernels (incl. the Pallas VLC/pack
+and tree-concat kernels per shard on TPU):
+
+  1. color + fDCT per stripe (+ per-image coefficient histograms,
+     `lax.psum` over sp)                            -> host lambda-fit
+  2. quantize + run/levels; DC chains carry across stripes with a
+     `lax.ppermute` of each stripe's last DC (bit-identical to the serial
+     scan, reference src/enc.cc:482-499); per-image symbol frequencies
+     psum over sp                                   -> host table build
+  3. VLC + per-block pack + per-stripe compaction   -> one batched
+     cross-stripe stitch + host marker splice
+
+Cross-host: the dp axis is the data-parallel axis (DCN); sp rides ICI.
+Configurations the stripe decomposition cannot hold bit-identically
+(unaligned stripe heights, mixed AUTO modes, trellis, multi-pass search)
+delegate to the unsharded engine rather than approximate.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import constants as C
+from .. import engine, pipeline, spec
+from ..adaptive import analyse_histo
+from ..huffman import k3_default_tables, optimal_tables_from_freqs
+from ..ops import colorspace, fdct, pack, quantize, vlc
+from ..params import EncoderParam, method_flags
+from .shard import _dc_codes_sharded, _shard_map
+
+_AXIS = "sp"
+
+
+def default_mesh(devices=None) -> Mesh:
+    """All local devices on the stripe (sp) axis; dp=1."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.array(devices).reshape(1, -1), ("dp", "sp"))
+
+
+def _stripe_quantize(coeffs, iq, ib, nb_blocks, b_l: int):
+    """Shard-local quantize + MCU interleave with cross-stripe DC chains.
+
+    `coeffs`: per-component [B_l, nlb_c, 64]; `iq`/`ib`: [B_l, 2, 64].
+    Returns (rl, dc_codes, group) over the local flat block axis.
+    """
+    qbs, dc_cols = [], []
+    n_mcu = coeffs[0].shape[1] // nb_blocks[0]
+    for c, coef in enumerate(coeffs):
+        g = 0 if c == 0 else 1
+        qb = engine._per_image_quantize(coef.reshape(-1, 64), iq[:, g],
+                                        ib[:, g], b_l)
+        qbs.append(qb)
+        dcq = qb[:, 0].reshape(b_l, -1)
+        codes = jax.vmap(lambda d: _dc_codes_sharded(d, _AXIS))(dcq)
+        dc_cols.append(codes.reshape(b_l, n_mcu, nb_blocks[c]))
+    mcu_blocks = sum(nb_blocks)
+    qinter = jnp.concatenate(
+        [qb.reshape(b_l, n_mcu, nb, 64)
+         for qb, nb in zip(qbs, nb_blocks)], axis=2).reshape(-1, 64)
+    rl = vlc.run_levels(qinter)
+    dc_codes = jnp.concatenate(dc_cols, axis=2).reshape(-1)
+    slot_group = np.zeros(mcu_blocks, dtype=np.int32)
+    slot_group[nb_blocks[0]:] = 1 if len(nb_blocks) > 1 else 0
+    group = jnp.tile(jnp.asarray(slot_group), b_l * n_mcu)
+    return rl, dc_codes, group
+
+
+def _build_stages(mesh, yuv_mode: int, width: int, height: int,
+                  nb_blocks, b: int, with_histo: bool, with_stats: bool,
+                  per_image_tables: bool, bucket: int):
+    """The three jitted shard_map stage programs."""
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    b_l = b // dp
+    stripe_h = height // sp
+    n_comps = len(nb_blocks)
+
+    def coeffs_shard(rgb):
+        blocks = colorspace.rgb_to_blocks(rgb, yuv_mode, width, stripe_h)
+        coeffs = [fdct.fdct_blocks(x) for x in blocks]
+        out = tuple(c.reshape(b_l, -1, 64) for c in coeffs)
+        if not with_histo:
+            return out
+        # 2-D [B_l, 64*bins]: dense fetch layout (see engine._stage_coeffs)
+        hl = quantize.store_histo(coeffs[0], b_l).reshape(b_l, -1)
+        if n_comps > 1:
+            hc = (quantize.store_histo(coeffs[1], b_l)
+                  + quantize.store_histo(coeffs[2], b_l)).reshape(b_l, -1)
+        else:
+            hc = jnp.zeros_like(hl)
+        return out + (jax.lax.psum(hl, _AXIS), jax.lax.psum(hc, _AXIS))
+
+    cspec = tuple(P("dp", "sp", None) for _ in range(n_comps))
+    coeffs_out = cspec + ((P("dp"), P("dp")) if with_histo else ())
+    stage_coeffs = jax.jit(_shard_map(
+        coeffs_shard, mesh, in_specs=(P("dp", "sp"),),
+        out_specs=coeffs_out))
+
+    def quant_shard(coeffs, iq, ib):
+        rl, dc_codes, group = _stripe_quantize(list(coeffs), iq, ib,
+                                               tuple(nb_blocks), b_l)
+        per_l = dc_codes.shape[0] // b_l
+        out = ({k: v.reshape(b_l, per_l, -1) for k, v in rl.items()},
+               dc_codes.reshape(b_l, per_l),
+               group.reshape(b_l, per_l))
+        if not with_stats:
+            return out
+        fdc, fac = engine._grouped_stats(rl, dc_codes, group, b_l)
+        fdc = jax.lax.psum(fdc.reshape(b_l, 2, -1), _AXIS)
+        fac = jax.lax.psum(fac.reshape(b_l, 2, -1), _AXIS)
+        return out, fdc, fac
+
+    st_spec = ({k: P("dp", "sp", None)
+                for k in ("nz", "run", "size", "code", "last")},
+               P("dp", "sp"), P("dp", "sp"))
+    qout = (st_spec, P("dp"), P("dp")) if with_stats else st_spec
+    stage_quant = jax.jit(_shard_map(
+        quant_shard, mesh,
+        in_specs=(cspec, P("dp"), P("dp")), out_specs=qout))
+
+    def pack_shard(state, dc_luts, ac_luts):
+        rl, dc_codes, group = state
+        per_l = dc_codes.shape[1]
+        flat = ({k: v.reshape(b_l * per_l, -1) for k, v in rl.items()},
+                dc_codes.reshape(-1), group.reshape(-1))
+        flat[0]["last"] = flat[0]["last"].reshape(-1)
+        words, totals = engine._stage_batch_pack(
+            flat, dc_luts, ac_luts, n_images=b_l, bucket=bucket,
+            per_image_tables=per_image_tables)
+        return (words.reshape(b_l, 1, bucket),
+                totals.reshape(b_l, 1))
+
+    lut_spec = P("dp") if per_image_tables else P()
+    stage_pack = jax.jit(_shard_map(
+        pack_shard, mesh,
+        in_specs=(st_spec, lut_spec, lut_spec),
+        out_specs=(P("dp", "sp", None), P("dp", "sp"))))
+    return stage_coeffs, stage_quant, stage_pack
+
+
+@jax.jit
+def _stitch(words, totals):
+    """[B, S, bucket] per-(image, stripe) streams -> [B, S*bucket] images."""
+    b, s, bucket = words.shape
+    return pack.concat_block_streams_batched(
+        words.reshape(b * s, bucket), totals.reshape(b * s),
+        n_images=b, bucket=s * bucket)
+
+
+def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
+                         bits_per_pixel_budget: float = 4.0,
+                         share_statistics: bool = False):
+    """Encode a uint8 batch [B, H, W, 3] over a (dp, sp) device mesh.
+
+    Returns a list of JPEG byte strings, byte-identical to
+    `engine.encode_batch` / per-image `encode_rgb`.  Requirements for the
+    sharded fast path: B divisible by mesh dp, image MCU rows divisible by
+    mesh sp, a pinned or uniformly-auto-decided YUV mode, single-pass
+    methods 0-6.  Anything else transparently delegates to the unsharded
+    engine (same bytes, no mesh).
+    """
+    param = param or EncoderParam()
+    mesh = mesh or default_mesh()
+    b, h, w = rgbs.shape[:3]
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    flags = method_flags(param.method)
+
+    yuv_mode = param.yuv_mode
+    if yuv_mode == C.YUV_AUTO:
+        from ..ops import riskiness as dev_risk
+        ss, cc, gg = jax.device_get(dev_risk.risk_stats(jnp.asarray(rgbs)))
+        modes = {dev_risk.finish_riskiness(ss[i], cc[i], gg[i], w, h)[0]
+                 for i in range(b)}
+        if len(modes) > 1:
+            return engine.encode_batch(rgbs, param, bits_per_pixel_budget,
+                                       share_statistics)
+        yuv_mode = modes.pop()
+    layout = pipeline.component_layout(
+        yuv_mode if yuv_mode != C.YUV_SHARP else C.YUV_420, w, h)
+    delegate = (yuv_mode == C.YUV_SHARP or flags["use_trellis"]
+                or param.passes > 1 or b % dp != 0
+                or layout.mb_h % sp != 0)
+    if delegate:
+        p2 = dataclasses.replace(param, yuv_mode=yuv_mode)
+        return engine.encode_batch(rgbs, p2, bits_per_pixel_budget,
+                                   share_statistics)
+
+    nb_blocks = tuple(layout.nb_blocks)
+    n_groups = 2 if layout.nb_comps > 1 else 1
+    min_qmats = param.resolved_min_quant_matrices()
+    base_qms = [spec.finalize_quant_matrix(
+        param.resolved_quant_matrices()[i], min_qmats[i],
+        param.quantization_bias) for i in range(2)]
+    defaults = k3_default_tables()
+
+    per_img_blocks = layout.mb_w * layout.mb_h * sum(nb_blocks)
+    bucket = int(min(per_img_blocks // sp * pack.WORDS_PER_BLOCK,
+                     max(1024, w * h * bits_per_pixel_budget / 32 / sp)))
+    per_image_tables = flags["optimize_size"] and not share_statistics
+
+    stage_coeffs, stage_quant, stage_pack = _build_stages(
+        mesh, yuv_mode, w, h, nb_blocks, b,
+        with_histo=flags["use_adaptive_quant"],
+        with_stats=flags["optimize_size"],
+        per_image_tables=per_image_tables, bucket=bucket)
+
+    outs = stage_coeffs(jnp.asarray(rgbs))
+    if flags["use_adaptive_quant"]:
+        coeffs = outs[:layout.nb_comps]
+        hl = np.asarray(outs[-2]).astype(np.int64).reshape(b, 64, -1)
+        hc = np.asarray(outs[-1]).astype(np.int64).reshape(b, 64, -1)
+        if share_statistics:
+            hist = [hl.sum(axis=0), hc.sum(axis=0)]
+            hists = [hist] * b
+        else:
+            hists = [[hl[i], hc[i]] for i in range(b)]
+        per_qms, seen = [], {}
+        for i in range(b):
+            key = id(hists[i]) if share_statistics else i
+            if key in seen:
+                per_qms.append(seen[key])
+                continue
+            qms = list(base_qms)
+            for g in range(n_groups - 1, -1, -1):
+                qd = (param.qdelta_max_luma if g == 0
+                      else param.qdelta_max_chroma)
+                tuned = analyse_histo(hists[i][g], qms[g]["quant"],
+                                      min_qmats[g], qd)
+                qms[g] = spec.finalize_quant_matrix(
+                    tuned, min_qmats[g], param.quantization_bias)
+            seen[key] = qms
+            per_qms.append(qms)
+    else:
+        coeffs = outs if isinstance(outs, tuple) else (outs,)
+        per_qms = [base_qms] * b
+    iq = jnp.asarray(np.stack([[q["iquant"] for q in qms]
+                               for qms in per_qms]).astype(np.int32))
+    ib = jnp.asarray(np.stack([[q["bias"] for q in qms]
+                               for qms in per_qms]).astype(np.int32))
+
+    qouts = stage_quant(tuple(coeffs), iq, ib)
+    if flags["optimize_size"]:
+        state, fdc, fac = qouts
+        fdc = np.asarray(fdc).astype(np.int64)
+        fac = np.asarray(fac).astype(np.int64)
+        if share_statistics:
+            tables = optimal_tables_from_freqs(fdc.sum(axis=0),
+                                               fac.sum(axis=0), n_groups)
+            if n_groups == 1:
+                tables[1], tables[3] = defaults[1], defaults[3]
+            per_tables = [tables] * b
+            dc_luts, ac_luts = engine._device_luts(tables)
+        else:
+            per_tables = []
+            for i in range(b):
+                t = optimal_tables_from_freqs(fdc[i], fac[i], n_groups)
+                if n_groups == 1:
+                    t[1], t[3] = defaults[1], defaults[3]
+                per_tables.append(t)
+            dc_np = np.zeros((b, 2, 16), np.uint32)
+            ac_np = np.zeros((b, 2, 256), np.uint32)
+            for i, t in enumerate(per_tables):
+                d, a = engine._device_luts(t)
+                dc_np[i], ac_np[i] = np.asarray(d), np.asarray(a)
+            dc_luts, ac_luts = jnp.asarray(dc_np), jnp.asarray(ac_np)
+    else:
+        state = qouts
+        tables = k3_default_tables()
+        per_tables = [tables] * b
+        dc_luts, ac_luts = engine._device_luts(tables)
+
+    words, totals = stage_pack(state, dc_luts, ac_luts)
+    shard_totals = np.asarray(totals)                     # [B, S]
+    overflow = (shard_totals > bucket * 32).any(axis=1)
+    img_words, img_totals = _stitch(words, jnp.asarray(totals))
+    img_words = np.asarray(img_words)
+    img_totals = np.asarray(img_totals)
+
+    out = []
+    for i in range(b):
+        if overflow[i]:        # per-stripe bucket overflow: slow refetch
+            p2 = dataclasses.replace(param, yuv_mode=yuv_mode)
+            out.append(engine.encode_rgb(np.asarray(rgbs[i]), p2))
+            continue
+        scan = engine._finalize_scan_bytes(img_words[i], int(img_totals[i]))
+        out.append(engine._assemble_jpeg(layout, param, per_qms[i],
+                                         per_tables[i], scan))
+    return out

@@ -509,3 +509,45 @@ def test_pallas_tree_concat_sliced_overflow_flag(rng):
         nw = (int(wt[b]) + 31) // 32
         np.testing.assert_array_equal(np.asarray(got_s)[b, :nw],
                                       np.asarray(want)[b, :nw])
+
+
+def _mixed_mode_batch(rng):
+    """Batch whose images decide different AUTO modes: gray -> 400,
+    smooth gradient -> 420, saturated checker -> 444/sharp."""
+    h, w = 48, 40
+    g = rng.randint(90, 150, (h, w), dtype=np.uint8)
+    gray = np.stack([g, g, g], axis=-1)
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([xx * 3 % 256, yy * 3 % 256,
+                       (xx + yy) % 256], axis=-1).astype(np.uint8)
+    checker = np.zeros((h, w, 3), np.uint8)
+    checker[(yy // 2 + xx // 2) % 2 == 0] = (255, 0, 0)
+    checker[(yy // 2 + xx // 2) % 2 == 1] = (0, 0, 255)
+    return np.stack([gray, smooth, checker])
+
+
+def test_encode_batch_auto_mode_per_image(rng):
+    """yuv_mode=AUTO in a batch decides per image (reference semantics,
+    src/enc.cc:2132-2154) and is byte-identical to per-image encoding."""
+    from sjpeg_tpu.engine import encode_batch, encode_rgb
+    from sjpeg_tpu.riskiness import auto_yuv_mode
+    imgs = _mixed_mode_batch(rng)
+    modes = {auto_yuv_mode(im) for im in imgs}
+    assert len(modes) > 1          # the corpus genuinely mixes modes
+    p = EncoderParam(quality=80, yuv_mode=C.YUV_AUTO)
+    outs = encode_batch(imgs, p)
+    for i in range(len(imgs)):
+        assert outs[i] == encode_rgb(imgs[i], p), i
+
+
+def test_encode_batch_sharp_byte_identical(rng):
+    """Batched sharp-YUV encode = per-image sharp encode, both device."""
+    from sjpeg_tpu.engine import encode_batch, encode_rgb
+    imgs = rng.randint(0, 256, (2, 40, 48, 3), dtype=np.uint8)
+    for huff in (False, True):
+        p = EncoderParam(quality=84, yuv_mode=C.YUV_SHARP,
+                         huffman_compress=huff,
+                         adaptive_quantization=huff)
+        outs = encode_batch(imgs, p)
+        for i in range(len(imgs)):
+            assert outs[i] == encode_rgb(imgs[i], p), (huff, i)

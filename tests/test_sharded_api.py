@@ -1,0 +1,68 @@
+"""encode_batch_sharded vs the serial engine: byte-identical JPEGs."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from sjpeg_tpu import constants as C
+from sjpeg_tpu.params import EncoderParam
+from sjpeg_tpu.parallel.api import encode_batch_sharded
+
+from conftest import make_test_image
+
+
+def _mesh(dp, sp):
+    if len(jax.devices()) < dp * sp:
+        pytest.skip("not enough devices")
+    devs = np.array(jax.devices()[: dp * sp]).reshape(dp, sp)
+    return Mesh(devs, ("dp", "sp"))
+
+
+def _imgs(b, h, w, seed0=0):
+    return np.stack([make_test_image(w, h, seed=seed0 + i)
+                     for i in range(b)])
+
+
+@pytest.mark.parametrize("dp,sp", [(2, 4), (1, 8)])
+@pytest.mark.parametrize("huff,adapt,mode", [
+    (False, False, C.YUV_420),  # method 0: fixed tables, fused
+    (True, True, C.YUV_420),    # method 4 (reference default)
+    (True, True, C.YUV_444),
+    (True, False, C.YUV_400),   # method 1: two-pass only, gray
+])
+def test_sharded_byte_identical(dp, sp, huff, adapt, mode):
+    mesh = _mesh(dp, sp)
+    h = 16 * sp * 2             # two MCU rows per stripe
+    imgs = _imgs(dp * 2, h, 72)
+    p = EncoderParam(quality=78, yuv_mode=mode, huffman_compress=huff,
+                     adaptive_quantization=adapt)
+    got = encode_batch_sharded(imgs, p, mesh=mesh)
+    from sjpeg_tpu.engine import encode_rgb
+    for i in range(len(imgs)):
+        assert got[i] == encode_rgb(imgs[i], p), (huff, adapt, mode, i)
+
+
+def test_sharded_share_statistics_valid():
+    """share_statistics knob: one table/matrix set from psummed batch
+    statistics; streams decode and match the unsharded shared path."""
+    mesh = _mesh(2, 4)
+    imgs = _imgs(4, 128, 48, seed0=9)
+    p = EncoderParam(quality=85, yuv_mode=C.YUV_420)
+    got = encode_batch_sharded(imgs, p, mesh=mesh, share_statistics=True)
+    from sjpeg_tpu.engine import encode_batch
+    want = encode_batch(imgs, p, share_statistics=True)
+    assert got == want
+
+
+def test_sharded_delegates_unaligned():
+    """Heights that do not split into sp MCU-aligned stripes fall back to
+    the unsharded engine and still return the identical bytes."""
+    mesh = _mesh(1, 8)
+    imgs = _imgs(2, 40, 40)     # 40px -> 3 luma MCU rows, not % 8
+    p = EncoderParam(quality=75, yuv_mode=C.YUV_420)
+    got = encode_batch_sharded(imgs, p, mesh=mesh)
+    from sjpeg_tpu.engine import encode_rgb
+    for i in range(len(imgs)):
+        assert got[i] == encode_rgb(imgs[i], p)
