@@ -6,17 +6,60 @@ lambda is estimated by a Gaussian-weighted least-squares fit of the
 (delta, distortion) and (delta, size) clouds around the current matrix
 (reference: src/enc.cc:993-1182).
 
-The histogram reduction runs on device (summed across shards via psum); this
-fit is a tiny O(64 * 25 * 128) per-image problem solved on the host.  All
-inner sums are integer-valued and exact in float64, so vectorizing them does
-not change results; the cross-delta/position accumulators follow the
-reference's sequential order to stay bit-identical.
+The histogram reduction runs on device (summed across shards via psum);
+this fit is a tiny O(64 * 25 * 128) per-image problem solved on the host.
+Everything is vectorized without changing a single bit of the result:
+
+- the (pos, delta, bin) quantization tables depend only on the quant
+  matrix, not the image, so they are LRU-cached across the images of a
+  batch / passes of a search;
+- the per-(pos, delta) bin sums are integer-valued, hence exact and
+  order-independent (int64 matmul);
+- the reference's *sequential* float accumulations over deltas and
+  positions (whose rounding order is observable) vectorize exactly with
+  np.add.accumulate, which is defined as the sequential scan, with 0.0
+  terms for skipped entries (x + 0.0 == x for every partial sum that can
+  occur here, and a +0/-0 sign flip is unobservable in a sum).
 """
+
+import functools
 
 import numpy as np
 
 from . import constants as C
 from .spec import calc_log2
+
+_FLT_MAX = float(np.finfo(np.float32).max)
+
+
+@functools.lru_cache(maxsize=32)
+def _delta_tables(quant_b: bytes, min_quant_b: bytes):
+    """(valid [64,25], bits [64,25,128] i64, err [64,25,128] i64) for one
+    quant/min_quant matrix pair — image-independent, cached."""
+    quant = np.frombuffer(quant_b, dtype=np.uint8)
+    min_quant = np.frombuffer(min_quant_b, dtype=np.uint8)
+    bias = 1 << C.FP_BITS >> 1
+    bins = np.arange(C.MAX_HISTO_DCT_COEFF, dtype=np.int64)
+    v = (bins << C.HSHIFT) + C.HHALF         # [128] bin centroids
+
+    dq = (quant.astype(np.int64)[:, None]
+          + np.arange(C.QSIZE, dtype=np.int64)[None, :]
+          + C.QDELTA_MIN)                                    # [64, 25]
+    valid = (dq >= min_quant.astype(np.int64)[:, None]) & (dq <= 255)
+    dq_safe = np.maximum(dq, 1)
+    idq = ((1 << C.FP_BITS) + dq_safe - 1) // dq_safe
+    qv = (v[None, None, :] * idq[:, :, None] + bias) >> C.FP_BITS
+    bits = np.where(qv > 0, calc_log2(np.maximum(qv, 1)), 0)
+    dqv = qv * dq_safe[:, :, None]
+    err = np.where(qv > 0, (v[None, None, :] - dqv) ** 2,
+                   (v * v)[None, None, :])
+    return valid, bits.astype(np.int64), err
+
+
+def _seq_sum(terms, axis):
+    """Sum with the sequential (left-to-right) rounding order the
+    reference's accumulation loops use."""
+    return np.take(np.add.accumulate(terms, axis=axis), -1, axis=axis)
 
 
 def analyse_histo(histo: np.ndarray, quant: np.ndarray, min_quant: np.ndarray,
@@ -31,115 +74,66 @@ def analyse_histo(histo: np.ndarray, quant: np.ndarray, min_quant: np.ndarray,
     delta_max = qdelta_max - C.QDELTA_MIN
     assert delta_max < C.QSIZE
 
-    sizes = np.zeros((64, C.QSIZE), dtype=np.float32)
-    distortions = np.full((64, C.QSIZE), np.finfo(np.float32).max,
-                          dtype=np.float32)
-    num = 0.0
-    den = 0.0
-    omit = C.OMITTED_CHANNELS
-    bias = 1 << C.FP_BITS >> 1
-
-    bins = np.arange(C.MAX_HISTO_DCT_COEFF, dtype=np.int64)
-    v = (bins << C.HSHIFT) + C.HHALF         # [128] bin centroids
-
-    # ---- fully vectorized (pos, delta, bin) evaluation ----
-    # Every per-(pos,delta) sum is integer-valued, hence exact in float64 and
-    # independent of summation order; only the small cross-delta/position
-    # least-squares accumulators below keep the reference's sequential order.
     h = histo.astype(np.int64)                               # [64, 128]
-    dq = (quant.astype(np.int64)[:, None]
-          + np.arange(C.QSIZE, dtype=np.int64)[None, :]
-          + C.QDELTA_MIN)                                    # [64, 25]
-    valid = (dq >= min_quant.astype(np.int64)[:, None]) & (dq <= 255)
-    dq_safe = np.maximum(dq, 1)
-    idq = ((1 << C.FP_BITS) + dq_safe - 1) // dq_safe
-    qv = (v[None, None, :] * idq[:, :, None] + bias) >> C.FP_BITS
-    bits = np.where(qv > 0, calc_log2(np.maximum(qv, 1)), 0)
-    dqv = qv * dq_safe[:, :, None]
-    err = np.where(qv > 0, (v[None, None, :] - dqv) ** 2,
-                   (v * v)[None, None, :])
-    bsum = (h[:, None, :] * bits).sum(axis=2).astype(np.float64)  # [64, 25]
-    dsum = (h[:, None, :] * err).sum(axis=2).astype(np.float64)
+    valid, bits, err = _delta_tables(
+        np.ascontiguousarray(quant.astype(np.uint8)).tobytes(),
+        np.ascontiguousarray(min_quant.astype(np.uint8)).tobytes())
+    # integer bin sums: exact, order-free                      [64, 25]
+    bsum = np.matmul(bits, h[:, :, None])[:, :, 0].astype(np.float64)
+    dsum = np.matmul(err, h[:, :, None])[:, :, 0].astype(np.float64)
 
-    # density filter inputs
+    # density filter
     hist_nz = h > 0
     last_all = np.where(hist_nz.any(axis=1),
                         C.MAX_HISTO_DCT_COEFF - np.argmax(hist_nz[:, ::-1],
                                                           axis=1), 0)
     total_all = h.sum(axis=1)
+    omit = np.zeros(64, dtype=bool)
+    omit |= (C.OMITTED_CHANNELS >> np.arange(64)) & 1 == 1
+    omit |= ~omit & (total_all < C.DENSITY_THRESHOLD * last_all)
 
-    xs = np.arange(C.QSIZE, dtype=np.float64) + C.QDELTA_MIN
-    ws = C.HISTO_WEIGHT
-
-    # float32 rounding of the stored clouds, vectorized
+    # float32 rounding of the stored clouds
+    distortions = np.full((64, C.QSIZE), np.float32(_FLT_MAX),
+                          dtype=np.float32)
+    sizes = np.zeros((64, C.QSIZE), dtype=np.float32)
     distortions[valid] = dsum[valid].astype(np.float32)
     sizes[valid] = bsum[valid].astype(np.float32)
 
-    dsum_l = dsum.tolist()         # plain floats: fast exact sequential math
-    bsum_l = bsum.tolist()
-    valid_l = valid.tolist()
-    ws_l = ws.tolist()
-    xs_l = xs.tolist()
-    total_l = total_all.tolist()
-    last_l = last_all.tolist()
+    # Gaussian-weighted least-squares fit; per-delta terms match the
+    # reference's expression order (w*x, (w*x)*x, (w*ds)*x, ...)
+    xs = np.arange(C.QSIZE, dtype=np.float64) + C.QDELTA_MIN
+    w = np.where(valid & (C.HISTO_WEIGHT > 0.0)[None, :],
+                 C.HISTO_WEIGHT[None, :], 0.0)               # [64, 25]
+    sw = _seq_sum(w, 1)
+    sx = _seq_sum(w * xs, 1)
+    sxx = _seq_sum(w * xs * xs, 1)
+    sy1 = _seq_sum(w * dsum, 1)
+    syy1 = _seq_sum(w * dsum * dsum, 1)
+    sy2 = _seq_sum(w * bsum, 1)
+    sxy1 = _seq_sum(w * dsum * xs, 1)
+    sxy2 = _seq_sum(w * bsum * xs, 1)
 
-    for pos in range(64):
-        if omit & (1 << pos):
-            continue
-        if total_l[pos] < C.DENSITY_THRESHOLD * last_l[pos]:
-            omit |= 1 << pos
-            continue
-
-        sw = sx = sxx = syy1 = 0.0
-        sy1 = sxy1 = sy2 = sxy2 = 0.0
-        dp, bp, vp = dsum_l[pos], bsum_l[pos], valid_l[pos]
-        for delta in range(C.QSIZE):
-            if not vp[delta]:
-                continue     # distortions stays FLT_MAX, sizes stays 0
-            w = ws_l[delta]
-            if w > 0.0:
-                ds = dp[delta]
-                bs = bp[delta]
-                x = xs_l[delta]
-                sw += w
-                sx += w * x
-                sxx += w * x * x
-                sy1 += w * ds
-                syy1 += w * ds * ds
-                sy2 += w * bs
-                sxy1 += w * ds * x
-                sxy2 += w * bs * x
-
-        cov_xy1 = sw * sxy1 - sx * sy1
-        if (cov_xy1 * cov_xy1 <
-                C.CORRELATION_THRESHOLD * (sw * sxx - sx * sx)
-                * (sw * syy1 - sy1 * sy1)):
-            omit |= 1 << pos
-            continue
-        num += cov_xy1
-        den += sw * sxy2 - sx * sy2
+    cov_xy1 = sw * sxy1 - sx * sy1
+    poor = (cov_xy1 * cov_xy1
+            < C.CORRELATION_THRESHOLD * (sw * sxx - sx * sx)
+            * (sw * syy1 - sy1 * sy1))
+    omit |= ~omit & poor
+    num = _seq_sum(np.where(omit, 0.0, cov_xy1), 0)
+    den = _seq_sum(np.where(omit, 0.0, sw * sxy2 - sx * sy2), 0)
 
     lam = float(C.HLAMBDA)
     if num > 1000.0 and den < -10.0:
         lam = max(-num / den, 1.0)
 
-    new_quant = quant.astype(np.int64).copy()
-    flt_max = float(np.finfo(np.float32).max)
-    dist_l = distortions.astype(np.float64).tolist()
-    sizes_l = sizes.astype(np.float64).tolist()
-    for pos in range(64):
-        if omit & (1 << pos):
-            continue
-        best_score = flt_max
-        best_dq = 0
-        dl, sl = dist_l[pos], sizes_l[pos]
-        for delta in range(delta_max + 1):
-            if dl[delta] < flt_max:
-                # the reference computes and compares `score` in float32
-                score = float(np.float32(dl[delta] + lam * sl[delta]))
-                if score < best_score:
-                    best_score = score
-                    best_dq = delta + C.QDELTA_MIN
-        new_quant[pos] += best_dq
-        assert new_quant[pos] >= 1
+    # best delta per position: first strict minimum of the float32 score
+    dl = distortions[:, : delta_max + 1].astype(np.float64)
+    sl = sizes[:, : delta_max + 1].astype(np.float64)
+    score = (dl + lam * sl).astype(np.float32)
+    score = np.where(dl < _FLT_MAX, score, np.float32(np.inf))
+    best = np.argmin(score, axis=1)
+    has_best = score[np.arange(64), best] < np.float32(_FLT_MAX)
+    best_dq = np.where(~omit & has_best, best + C.QDELTA_MIN, 0)
+
+    new_quant = quant.astype(np.int64) + best_dq
+    assert (new_quant >= 1).all()
     return new_quant.astype(np.uint8)
