@@ -611,6 +611,78 @@ def _stage_batch_pack(vlc_state, dc_luts, ac_luts, n_images: int,
                                              bucket)
 
 
+# Through the axon dev relay, large jit OUTPUTS (the [N, 64] coefficient
+# planes, ~100 MB for a 16x1024^2 batch) stream back at ~0.2 MB/s — minutes
+# per stage — while the same arrays as fused intermediates cost nothing.
+# So on that backend the optimized batch path recomputes the front end
+# inside each program (the reference's own no-extra-memory re-scan
+# strategy, methods 5/6, src/enc.cc:1263-1273) and only small dense
+# reductions (histograms, frequencies, packed streams) ever leave a
+# program.  On CPU and real TPU the resident-coefficient staging below is
+# used instead: there the outputs stay in HBM for free.
+
+def _relay_backend() -> bool:
+    return jax.default_backend() == "axon"
+
+
+def _batch_blocks(src, yuv_mode: int, width: int, height: int,
+                  src_kind: str):
+    if src_kind == "planes":
+        return colorspace.planes_to_blocks(src, yuv_mode, width, height)
+    return colorspace.rgb_to_blocks(src, yuv_mode, width, height)
+
+
+@functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
+                                             "stats_images", "src_kind"))
+def _stage_batch_histos_fused(src, yuv_mode: int, width: int, height: int,
+                              stats_images: int, src_kind: str = "rgb"):
+    """color + fDCT + coefficient histograms in ONE program; only the
+    flat (dense-layout) histograms leave the device."""
+    blocks = _batch_blocks(src, yuv_mode, width, height, src_kind)
+    coeffs = [fdct.fdct_blocks(x) for x in blocks]
+    histo_l = quantize.store_histo(coeffs[0], stats_images)
+    if len(coeffs) > 1:
+        histo_c = (quantize.store_histo(coeffs[1], stats_images)
+                   + quantize.store_histo(coeffs[2], stats_images))
+    else:
+        histo_c = jnp.zeros_like(histo_l)
+    return histo_l.reshape(-1), histo_c.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
+                                             "nb_blocks", "n_images",
+                                             "stats_images", "src_kind"))
+def _stage_batch_freqs_fused(src, iquant, ibias, yuv_mode: int, width: int,
+                             height: int, nb_blocks, n_images: int,
+                             stats_images: int, src_kind: str = "rgb"):
+    """front end + quantize + symbol statistics in ONE program; only the
+    per-image (or batch-aggregated) frequencies leave the device."""
+    blocks = _batch_blocks(src, yuv_mode, width, height, src_kind)
+    coeffs = [fdct.fdct_blocks(x) for x in blocks]
+    rl, dc_codes, group = _interleave_quantized(coeffs, iquant, ibias,
+                                                nb_blocks, n_images)
+    return _grouped_stats(rl, dc_codes, group, stats_images)
+
+
+@functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
+                                             "nb_blocks", "n_images",
+                                             "bucket", "per_image_tables",
+                                             "src_kind"))
+def _encode_batch_opt_core(src, iquant, ibias, dc_luts, ac_luts, *,
+                           yuv_mode: int, width: int, height: int,
+                           nb_blocks, n_images: int, bucket: int,
+                           per_image_tables: bool, src_kind: str = "rgb"):
+    """Fused final pass for the optimized batch: front end + per-image
+    quantize + VLC + pack + concat as one program."""
+    blocks = _batch_blocks(src, yuv_mode, width, height, src_kind)
+    coeffs = [fdct.fdct_blocks(x) for x in blocks]
+    vlc_state = _interleave_quantized(coeffs, iquant, ibias, nb_blocks,
+                                      n_images)
+    return _stage_batch_pack(vlc_state, dc_luts, ac_luts,
+                             n_images=n_images, bucket=bucket,
+                             per_image_tables=per_image_tables)
+
+
 @functools.partial(jax.jit, static_argnames=("per_img",))
 def _slice_vlc_state(vlc_state, i, per_img: int):
     """Per-image slice of a batched (image-major) VLC state; `i` is traced
@@ -655,11 +727,20 @@ def _encode_batch_optimized(src, param: EncoderParam,
                 for i in range(2)]
     n_groups = 2 if layout.nb_comps > 1 else 1
     defaults = k3_default_tables()
+    stats_images = 1 if share_statistics else b
 
-    coeffs, histos = _stage_batch_coeffs(
-        src, yuv_mode=yuv_mode, width=w, height=h,
-        with_histo=flags["use_adaptive_quant"],
-        n_images=1 if share_statistics else b, src_kind=src_kind)
+    relay_fused = _relay_backend() and not flags["use_trellis"]
+    if relay_fused:
+        coeffs = None
+        histos = (_stage_batch_histos_fused(
+            src, yuv_mode=yuv_mode, width=w, height=h,
+            stats_images=stats_images, src_kind=src_kind)
+            if flags["use_adaptive_quant"] else None)
+    else:
+        coeffs, histos = _stage_batch_coeffs(
+            src, yuv_mode=yuv_mode, width=w, height=h,
+            with_histo=flags["use_adaptive_quant"],
+            n_images=stats_images, src_kind=src_kind)
 
     def tune(histo_pair):
         qms = list(base_qms)
@@ -694,7 +775,14 @@ def _encode_batch_optimized(src, param: EncoderParam,
         per_qms = [base_qms] * b
         iq, ib = _quant_device_arrays(base_qms)
 
-    if flags["use_trellis"]:
+    if relay_fused:
+        vlc_state = None
+        freqs = (_stage_batch_freqs_fused(
+            src, iq, ib, yuv_mode=yuv_mode, width=w, height=h,
+            nb_blocks=tuple(layout.nb_blocks), n_images=b,
+            stats_images=stats_images, src_kind=src_kind)
+            if flags["optimize_size"] else None)
+    elif flags["use_trellis"]:
         if share_statistics or not flags["use_adaptive_quant"]:
             qq = jnp.asarray(np.stack(
                 [per_qms[0][0]["quant"], per_qms[0][1]["quant"]]
@@ -748,9 +836,16 @@ def _encode_batch_optimized(src, param: EncoderParam,
     n_blocks_img = layout.mb_w * layout.mb_h * sum(layout.nb_blocks)
     bucket = int(min(n_blocks_img * pack.WORDS_PER_BLOCK,
                      max(4096, w * h * bits_per_pixel_budget / 32)))
-    words, totals = _stage_batch_pack(vlc_state, dc_luts, ac_luts,
-                                      n_images=b, bucket=bucket,
-                                      per_image_tables=per_image_tables)
+    if relay_fused:
+        words, totals = _encode_batch_opt_core(
+            src, iq, ib, dc_luts, ac_luts, yuv_mode=yuv_mode, width=w,
+            height=h, nb_blocks=tuple(layout.nb_blocks), n_images=b,
+            bucket=bucket, per_image_tables=per_image_tables,
+            src_kind=src_kind)
+    else:
+        words, totals = _stage_batch_pack(vlc_state, dc_luts, ac_luts,
+                                          n_images=b, bucket=bucket,
+                                          per_image_tables=per_image_tables)
     totals_np = np.asarray(totals)
     words_np = np.asarray(words)
 
@@ -759,12 +854,29 @@ def _encode_batch_optimized(src, param: EncoderParam,
     for i in range(b):
         total_bits = int(totals_np[i])
         if total_bits > bucket * 32:      # bucket overflow: slow refetch
-            state_i = _slice_vlc_state(vlc_state, jnp.int32(i), per_img)
-            if per_image_tables:
-                dcl, acl = _device_luts(per_tables[i])
+            if relay_fused:
+                one = (src[i][None] if src_kind == "rgb"
+                       else tuple(p[i][None] for p in src))
+                iq1 = iq[i][None] if iq.ndim == 3 else iq
+                ib1 = ib[i][None] if ib.ndim == 3 else ib
+                if per_image_tables:
+                    dcl, acl = dc_luts[i][None], ac_luts[i][None]
+                else:
+                    dcl, acl = dc_luts, ac_luts
+                wi, ti = _encode_batch_opt_core(
+                    one, iq1, ib1, dcl, acl, yuv_mode=yuv_mode, width=w,
+                    height=h, nb_blocks=tuple(layout.nb_blocks),
+                    n_images=1,
+                    bucket=n_blocks_img * pack.WORDS_PER_BLOCK,
+                    per_image_tables=per_image_tables, src_kind=src_kind)
+                wi, ti = wi[0], ti[0]
             else:
-                dcl, acl = dc_luts, ac_luts
-            wi, ti = _stage_pack(state_i, dcl, acl)
+                state_i = _slice_vlc_state(vlc_state, jnp.int32(i), per_img)
+                if per_image_tables:
+                    dcl, acl = _device_luts(per_tables[i])
+                else:
+                    dcl, acl = dc_luts, ac_luts
+                wi, ti = _stage_pack(state_i, dcl, acl)
             scan = _finalize_scan_bytes(wi, int(ti))
         else:
             scan = _finalize_scan_bytes(words_np[i], total_bits)

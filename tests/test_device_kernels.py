@@ -551,3 +551,19 @@ def test_encode_batch_sharp_byte_identical(rng):
         outs = encode_batch(imgs, p)
         for i in range(len(imgs)):
             assert outs[i] == encode_rgb(imgs[i], p), (huff, i)
+
+
+def test_encode_batch_relay_fused_byte_identical(rng, monkeypatch):
+    """The relay-mode fused programs (front-end recompute, no resident
+    coefficients) produce the same bytes as the staged path."""
+    from sjpeg_tpu import engine
+    imgs = rng.randint(0, 256, (3, 48, 40, 3), dtype=np.uint8)
+    imgs[1] //= 3
+    for mode, share in ((C.YUV_420, False), (C.YUV_444, False),
+                        (C.YUV_420, True), (C.YUV_400, False)):
+        p = EncoderParam(quality=82, yuv_mode=mode)
+        want = engine.encode_batch(imgs, p, share_statistics=share)
+        monkeypatch.setattr(engine, "_relay_backend", lambda: True)
+        got = engine.encode_batch(imgs, p, share_statistics=share)
+        monkeypatch.undo()
+        assert got == want, (mode, share)
