@@ -17,6 +17,7 @@ coefficient cache, src/enc.cc:1605).
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -622,7 +623,9 @@ def _stage_batch_pack(vlc_state, dc_luts, ac_luts, n_images: int,
 # used instead: there the outputs stay in HBM for free.
 
 def _relay_backend() -> bool:
-    return jax.default_backend() == "axon"
+    # the axon relay registers its devices as plain "tpu", so the
+    # JAX_PLATFORMS request is the only reliable signal
+    return "axon" in os.environ.get("JAX_PLATFORMS", "")
 
 
 def _batch_blocks(src, yuv_mode: int, width: int, height: int,

@@ -24,11 +24,12 @@ delegate to the unsharded engine rather than approximate.
 """
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import constants as C
 from .. import engine, pipeline, spec
@@ -45,6 +46,41 @@ def default_mesh(devices=None) -> Mesh:
     """All local devices on the stripe (sp) axis; dp=1."""
     devices = jax.devices() if devices is None else devices
     return Mesh(np.array(devices).reshape(1, -1), ("dp", "sp"))
+
+
+def _multiproc() -> bool:
+    return jax.process_count() > 1
+
+
+def _fetch_dp(arr):
+    """Host fetch of a dp-sharded device array.
+
+    Single-process: plain `np.asarray` over the full batch.  Multi-process
+    (dp laid across hosts, SURVEY §5.8): only this process's addressable
+    dp rows come back — the DCN axis never moves image data between hosts.
+    Returns (rows ndarray, global row indices)."""
+    if not _multiproc():
+        a = np.asarray(arr)
+        return a, list(range(a.shape[0]))
+    out = np.zeros(arr.shape, arr.dtype)
+    rows = set()
+    for s in arr.addressable_shards:
+        out[s.index] = np.asarray(s.data)
+        sl = s.index[0] if s.index else slice(None)
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else arr.shape[0]
+        rows.update(range(start, stop))
+    idxs = sorted(rows)
+    return out[idxs], idxs
+
+
+def _global_dp(mesh: Mesh, local_rows: np.ndarray, spec=None):
+    """Lift this process's rows into a global dp-sharded array."""
+    spec = spec if spec is not None else P("dp")
+    sharding = NamedSharding(mesh, spec)
+    if not _multiproc():
+        return jax.device_put(local_rows, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_rows)
 
 
 def _stripe_quantize(coeffs, iq, ib, nb_blocks, b_l: int):
@@ -147,13 +183,22 @@ def _build_stages(mesh, yuv_mode: int, width: int, height: int,
     return stage_coeffs, stage_quant, stage_pack
 
 
-@jax.jit
-def _stitch(words, totals):
-    """[B, S, bucket] per-(image, stripe) streams -> [B, S*bucket] images."""
-    b, s, bucket = words.shape
-    return pack.concat_block_streams_batched(
-        words.reshape(b * s, bucket), totals.reshape(b * s),
-        n_images=b, bucket=s * bucket)
+@functools.lru_cache(maxsize=8)
+def _make_stitch(mesh):
+    """[B, S, bucket] per-(image, stripe) streams -> [B, S*bucket] images.
+
+    shard_map over dp only: each image's stripe streams all-gather over sp
+    (ICI) into its dp group, which barrel-shift-merges them locally; image
+    rows never cross the dp (DCN) axis."""
+    def stitch_shard(words, totals):
+        b_l, s, bucket = words.shape
+        return pack.concat_block_streams_batched(
+            words.reshape(b_l * s, bucket), totals.reshape(b_l * s),
+            n_images=b_l, bucket=s * bucket)
+    return jax.jit(_shard_map(
+        stitch_shard, mesh,
+        in_specs=(P("dp", None, None), P("dp", None)),
+        out_specs=(P("dp"), P("dp"))))
 
 
 def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
@@ -167,15 +212,25 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
     mesh sp, a pinned or uniformly-auto-decided YUV mode, single-pass
     methods 0-6.  Anything else transparently delegates to the unsharded
     engine (same bytes, no mesh).
+
+    Multi-host (`jax.process_count() > 1`, dp laid across processes via
+    `mesh.make_mesh`): `rgbs` is each process's LOCAL images (equal count
+    per process); the returned list holds the local images' JPEGs, in
+    order.  Image data and bitstreams stay host-local on the dp/DCN axis;
+    only stripe-level collectives ride sp/ICI.  With share_statistics the
+    shared tables span each host's local batch (the dp axis never moves
+    statistics between hosts).
     """
     param = param or EncoderParam()
     mesh = mesh or default_mesh()
-    b, h, w = rgbs.shape[:3]
+    b_local, h, w = rgbs.shape[:3]
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
     flags = method_flags(param.method)
+    n_proc = jax.process_count()
+    b = b_local * n_proc if _multiproc() else b_local
 
     yuv_mode = param.yuv_mode
-    if yuv_mode == C.YUV_AUTO:
+    if yuv_mode == C.YUV_AUTO and not _multiproc():
         from ..ops import riskiness as dev_risk
         ss, cc, gg = jax.device_get(dev_risk.risk_stats(jnp.asarray(rgbs)))
         modes = {dev_risk.finish_riskiness(ss[i], cc[i], gg[i], w, h)[0]
@@ -185,12 +240,17 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
                                        share_statistics)
         yuv_mode = modes.pop()
     layout = pipeline.component_layout(
-        yuv_mode if yuv_mode != C.YUV_SHARP else C.YUV_420, w, h)
-    delegate = (yuv_mode == C.YUV_SHARP or flags["use_trellis"]
+        yuv_mode if yuv_mode not in (C.YUV_SHARP, C.YUV_AUTO) else C.YUV_420,
+        w, h)
+    delegate = (yuv_mode in (C.YUV_SHARP, C.YUV_AUTO)
+                or flags["use_trellis"]
                 or param.passes > 1 or b % dp != 0
                 or layout.mb_h % sp != 0)
     if delegate:
-        p2 = dataclasses.replace(param, yuv_mode=yuv_mode)
+        # param/shape-driven (process-consistent) fallback; under
+        # multi-process each host encodes its local images unsharded
+        p2 = (param if yuv_mode == C.YUV_AUTO
+              else dataclasses.replace(param, yuv_mode=yuv_mode))
         return engine.encode_batch(rgbs, p2, bits_per_pixel_budget,
                                    share_statistics)
 
@@ -205,7 +265,10 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
     per_img_blocks = layout.mb_w * layout.mb_h * sum(nb_blocks)
     bucket = int(min(per_img_blocks // sp * pack.WORDS_PER_BLOCK,
                      max(1024, w * h * bits_per_pixel_budget / 32 / sp)))
-    per_image_tables = flags["optimize_size"] and not share_statistics
+    # per-image LUT arrays also carry per-HOST shared tables multi-process
+    # (replicated device LUTs would require identical values on every host)
+    per_image_tables = flags["optimize_size"] and (
+        not share_statistics or _multiproc())
 
     stage_coeffs, stage_quant, stage_pack = _build_stages(
         mesh, yuv_mode, w, h, nb_blocks, b,
@@ -213,18 +276,22 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
         with_stats=flags["optimize_size"],
         per_image_tables=per_image_tables, bucket=bucket)
 
-    outs = stage_coeffs(jnp.asarray(rgbs))
+    batch_g = _global_dp(mesh, np.asarray(rgbs), P("dp", "sp"))
+    outs = stage_coeffs(batch_g)
     if flags["use_adaptive_quant"]:
         coeffs = outs[:layout.nb_comps]
-        hl = np.asarray(outs[-2]).astype(np.int64).reshape(b, 64, -1)
-        hc = np.asarray(outs[-1]).astype(np.int64).reshape(b, 64, -1)
-        if share_statistics:
+        hl, _ = _fetch_dp(outs[-2])
+        hc, _ = _fetch_dp(outs[-1])
+        n_local = hl.shape[0]
+        hl = hl.astype(np.int64).reshape(n_local, 64, -1)
+        hc = hc.astype(np.int64).reshape(n_local, 64, -1)
+        if share_statistics:       # shared across this host's local batch
             hist = [hl.sum(axis=0), hc.sum(axis=0)]
-            hists = [hist] * b
+            hists = [hist] * n_local
         else:
-            hists = [[hl[i], hc[i]] for i in range(b)]
+            hists = [[hl[i], hc[i]] for i in range(n_local)]
         per_qms, seen = [], {}
-        for i in range(b):
+        for i in range(n_local):
             key = id(hists[i]) if share_statistics else i
             if key in seen:
                 per_qms.append(seen[key])
@@ -241,52 +308,57 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
             per_qms.append(qms)
     else:
         coeffs = outs if isinstance(outs, tuple) else (outs,)
-        per_qms = [base_qms] * b
-    iq = jnp.asarray(np.stack([[q["iquant"] for q in qms]
-                               for qms in per_qms]).astype(np.int32))
-    ib = jnp.asarray(np.stack([[q["bias"] for q in qms]
-                               for qms in per_qms]).astype(np.int32))
+        per_qms = [base_qms] * b_local
+    iq = _global_dp(mesh, np.stack([[q["iquant"] for q in qms]
+                                    for qms in per_qms]).astype(np.int32))
+    ib = _global_dp(mesh, np.stack([[q["bias"] for q in qms]
+                                    for qms in per_qms]).astype(np.int32))
 
     qouts = stage_quant(tuple(coeffs), iq, ib)
     if flags["optimize_size"]:
         state, fdc, fac = qouts
-        fdc = np.asarray(fdc).astype(np.int64)
-        fac = np.asarray(fac).astype(np.int64)
-        if share_statistics:
+        fdc, _ = _fetch_dp(fdc)
+        fac, _ = _fetch_dp(fac)
+        fdc = fdc.astype(np.int64)
+        fac = fac.astype(np.int64)
+        if share_statistics:       # shared across this host's local batch
             tables = optimal_tables_from_freqs(fdc.sum(axis=0),
                                                fac.sum(axis=0), n_groups)
             if n_groups == 1:
                 tables[1], tables[3] = defaults[1], defaults[3]
-            per_tables = [tables] * b
-            dc_luts, ac_luts = engine._device_luts(tables)
+            per_tables = [tables] * b_local
         else:
             per_tables = []
-            for i in range(b):
+            for i in range(b_local):
                 t = optimal_tables_from_freqs(fdc[i], fac[i], n_groups)
                 if n_groups == 1:
                     t[1], t[3] = defaults[1], defaults[3]
                 per_tables.append(t)
-            dc_np = np.zeros((b, 2, 16), np.uint32)
-            ac_np = np.zeros((b, 2, 256), np.uint32)
+        if per_image_tables:
+            dc_np = np.zeros((b_local, 2, 16), np.uint32)
+            ac_np = np.zeros((b_local, 2, 256), np.uint32)
             for i, t in enumerate(per_tables):
                 d, a = engine._device_luts(t)
                 dc_np[i], ac_np[i] = np.asarray(d), np.asarray(a)
-            dc_luts, ac_luts = jnp.asarray(dc_np), jnp.asarray(ac_np)
+            dc_luts = _global_dp(mesh, dc_np)
+            ac_luts = _global_dp(mesh, ac_np)
+        else:
+            dc_luts, ac_luts = engine._device_luts(per_tables[0])
     else:
         state = qouts
         tables = k3_default_tables()
-        per_tables = [tables] * b
+        per_tables = [tables] * b_local
         dc_luts, ac_luts = engine._device_luts(tables)
 
     words, totals = stage_pack(state, dc_luts, ac_luts)
-    shard_totals = np.asarray(totals)                     # [B, S]
+    shard_totals, _ = _fetch_dp(totals)                   # [B_local, S]
     overflow = (shard_totals > bucket * 32).any(axis=1)
-    img_words, img_totals = _stitch(words, jnp.asarray(totals))
-    img_words = np.asarray(img_words)
-    img_totals = np.asarray(img_totals)
+    img_words_g, img_totals_g = _make_stitch(mesh)(words, totals)
+    img_words, _ = _fetch_dp(img_words_g)
+    img_totals, _ = _fetch_dp(img_totals_g)
 
     out = []
-    for i in range(b):
+    for i in range(b_local):
         if overflow[i]:        # per-stripe bucket overflow: slow refetch
             p2 = dataclasses.replace(param, yuv_mode=yuv_mode)
             out.append(engine.encode_rgb(np.asarray(rgbs[i]), p2))
