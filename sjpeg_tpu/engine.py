@@ -497,7 +497,7 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
         width=w, height=h, nb_blocks=tuple(layout.nb_blocks), bucket=bucket,
         src_kind=src_kind, n_images=b)
     totals_np = np.asarray(totals)
-    words_np = np.asarray(words)
+    words_np = fetch_streams_batch(words, totals_np)
 
     out = []
     for i in range(b):
@@ -827,8 +827,7 @@ def _encode_batch_optimized(src, param: EncoderParam,
             dc_np = np.zeros((b, 2, 16), np.uint32)
             ac_np = np.zeros((b, 2, 256), np.uint32)
             for i, t in enumerate(per_tables):
-                d, a = _device_luts(t)
-                dc_np[i], ac_np[i] = np.asarray(d), np.asarray(a)
+                dc_np[i], ac_np[i] = _host_luts(t)
             dc_luts, ac_luts = jnp.asarray(dc_np), jnp.asarray(ac_np)
             per_image_tables = True
     else:
@@ -850,7 +849,7 @@ def _encode_batch_optimized(src, param: EncoderParam,
                                           n_images=b, bucket=bucket,
                                           per_image_tables=per_image_tables)
     totals_np = np.asarray(totals)
-    words_np = np.asarray(words)
+    words_np = fetch_streams_batch(words, totals_np)
 
     per_img = n_blocks_img
     out = []
@@ -886,6 +885,23 @@ def _encode_batch_optimized(src, param: EncoderParam,
         out.append(_assemble_jpeg(layout, param, per_qms[i],
                                   per_tables[i], scan))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _slice_words_batch(words, n: int):
+    return jax.lax.slice(words, (0, 0), (words.shape[0], n))
+
+
+def fetch_streams_batch(words, totals_np) -> np.ndarray:
+    """Fetch a [B, bucket] batch of streams as the smallest power-of-two
+    word-column prefix covering every image's used words (the relay moves
+    bytes slowly; the bucket is sized for the worst case, not the batch)."""
+    nmax = int((int(totals_np.max()) + 31) // 32) if totals_np.size else 1
+    if nmax >= words.shape[1]:
+        return np.asarray(words)
+    ncols = 1 << max(10, (nmax - 1).bit_length() if nmax > 1 else 1)
+    ncols = min(ncols, words.shape[1])
+    return np.asarray(_slice_words_batch(words, ncols))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -1063,8 +1079,8 @@ def _default_luts_cached():
     return _device_luts(k3_default_tables())
 
 
-def _device_luts(tables):
-    """HuffmanTable[4] -> ([2, 16], [2, 256]) uint32 device-ready LUTs."""
+def _host_luts(tables):
+    """HuffmanTable[4] -> ([2, 16], [2, 256]) uint32 host LUTs."""
     dc = np.zeros((2, 16), dtype=np.uint32)
     ac = np.zeros((2, 256), dtype=np.uint32)
     for g in range(2):
@@ -1072,6 +1088,12 @@ def _device_luts(tables):
             dc[g] = build_code_lut(tables[g], 16)
         if tables[2 + g] is not None:
             ac[g] = build_code_lut(tables[2 + g], 256)
+    return dc, ac
+
+
+def _device_luts(tables):
+    """HuffmanTable[4] -> ([2, 16], [2, 256]) uint32 device-ready LUTs."""
+    dc, ac = _host_luts(tables)
     return jnp.asarray(dc), jnp.asarray(ac)
 
 

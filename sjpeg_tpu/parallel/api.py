@@ -338,8 +338,7 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
             dc_np = np.zeros((b_local, 2, 16), np.uint32)
             ac_np = np.zeros((b_local, 2, 256), np.uint32)
             for i, t in enumerate(per_tables):
-                d, a = engine._device_luts(t)
-                dc_np[i], ac_np[i] = np.asarray(d), np.asarray(a)
+                dc_np[i], ac_np[i] = engine._host_luts(t)
             dc_luts = _global_dp(mesh, dc_np)
             ac_luts = _global_dp(mesh, ac_np)
         else:
