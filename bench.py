@@ -39,8 +39,7 @@ def make_image(w, h, seed=42):
     return img.astype(np.uint8)
 
 
-def reference_mpps(rgb, flags):
-    """Reference encoder throughput (its own 'elapsed' timer), Mpixel/s."""
+def _ensure_reference():
     bin_ = REFERENCE_BUILD / "sjpeg"
     if not bin_.exists():
         if not REFERENCE_SRC.exists():
@@ -56,6 +55,14 @@ def reference_mpps(rgb, flags):
                            capture_output=True)
         except Exception:
             return None
+    return bin_
+
+
+def reference_mpps(rgb, flags):
+    """Reference encoder throughput (its own 'elapsed' timer), Mpixel/s."""
+    bin_ = _ensure_reference()
+    if bin_ is None:
+        return None
     ppm = "/tmp/bench_in.ppm"
     with open(ppm, "wb") as f:
         f.write(f"P6\n{rgb.shape[1]} {rgb.shape[0]}\n255\n".encode())
@@ -130,6 +137,84 @@ def ours_mpps(rgb, batch=16, reps=6):
     return px / dt_batched / 1e6, px / dt_compute / 1e6, jpegs[0]
 
 
+def ours_batched_mpps(rgb, param, batch=16, reps=4):
+    """Steady-state `encode_batch` throughput for an arbitrary config
+    (full pipeline incl. any host table builds + stream fetch)."""
+    import jax
+    from sjpeg_tpu.engine import encode_batch
+
+    h, w = rgb.shape[:2]
+    batch_np = np.broadcast_to(rgb, (batch, h, w, 3)).copy()
+    dev_batch = jax.device_put(batch_np)
+    jpegs = encode_batch(dev_batch, param)       # compile + warm
+    t0 = time.time()
+    for _ in range(reps):
+        jpegs = encode_batch(dev_batch, param)
+    dt = (time.time() - t0) / reps / batch
+    return w * h / dt / 1e6, jpegs[0]
+
+
+def ours_compute_mpps(rgb, param, yuv_mode, nb_blocks, batch=16, reps=6):
+    """Pure device-program rate of the fused fixed-table encode."""
+    import jax
+    from sjpeg_tpu import spec
+    from sjpeg_tpu.engine import (_default_luts_cached, _quant_device_arrays,
+                                  encode_batch_core)
+    h, w = rgb.shape[:2]
+    dev_batch = jax.device_put(np.broadcast_to(rgb, (batch, h, w, 3)).copy())
+    qmats = param.resolved_quant_matrices()
+    minq = param.resolved_min_quant_matrices()
+    qms = [spec.finalize_quant_matrix(qmats[i], minq[i],
+                                      param.quantization_bias)
+           for i in range(2)]
+    iq, ib = _quant_device_arrays(qms)
+    dc_luts, ac_luts = _default_luts_cached()
+    bucket = max(4096, int(w * h * 4.0 / 32))
+    run = lambda: encode_batch_core(dev_batch, iq, ib, dc_luts, ac_luts,
+                                    yuv_mode=yuv_mode, width=w, height=h,
+                                    nb_blocks=nb_blocks, bucket=bucket)
+    jax.block_until_ready(run())
+    t0 = time.time()
+    r = None
+    for _ in range(reps):
+        r = run()
+    jax.block_until_ready(r)
+    np.asarray(jax.tree.leaves(r)[-1].ravel()[:1])   # force through relay
+    dt = (time.time() - t0) / reps / batch
+    return w * h / dt / 1e6
+
+
+def other_configs(rgb):
+    """BASELINE.md configs 2-3: 4:4:4 fixed-table and the reference's
+    default method 4 (adaptive quant + per-image two-pass Huffman)."""
+    from sjpeg_tpu import constants as C
+    from sjpeg_tpu.params import EncoderParam
+
+    out = {}
+    ref444 = reference_mpps(rgb, ["-yuv_mode", "3", "-no_adapt",
+                                  "-no_optim"])
+    p444 = EncoderParam(quality=75, huffman_compress=False,
+                        adaptive_quantization=False, yuv_mode=C.YUV_444)
+    mpps, jpeg = ours_batched_mpps(rgb, p444)
+    verify(jpeg, rgb)
+    compute444 = ours_compute_mpps(rgb, p444, C.YUV_444, (1, 1, 1))
+    out["c2_444_q75_m0"] = {
+        "mpps": round(compute444, 1),
+        "e2e_mpps": round(mpps, 1),
+        "reference_mpps": round(ref444, 1) if ref444 else None,
+        "vs_baseline": round(compute444 / ref444, 2) if ref444 else None}
+
+    refm4 = reference_mpps(rgb, [])   # reference default = method 4
+    pm4 = EncoderParam(quality=75, yuv_mode=C.YUV_420)
+    mpps, jpeg = ours_batched_mpps(rgb, pm4)
+    verify(jpeg, rgb)
+    out["c3_420_q75_m4"] = {
+        "e2e_mpps": round(mpps, 1),
+        "reference_mpps": round(refm4, 1) if refm4 else None,
+        "vs_baseline": round(mpps / refm4, 2) if refm4 else None}
+    return out
+
+
 def verify(jpeg, rgb):
     """The produced stream must decode and match the source closely."""
     import io
@@ -166,6 +251,10 @@ def main():
         "psnr_db": round(psnr, 2),
         "jpeg_bytes": len(jpeg),
     }
+    try:
+        result["configs"] = other_configs(rgb)
+    except Exception as e:          # never lose the headline number
+        result["configs_error"] = repr(e)
     print(json.dumps(result))
 
 

@@ -156,6 +156,39 @@ def _interleave_coeffs(coeffs, iquant, ibias, nb_blocks, n_images=1):
     return cinter, dc_codes, group
 
 
+def _interleave_samples(blocks, iquant, ibias, nb_blocks, n_images=1):
+    """MCU-interleave raw sample blocks for the samples-in fused kernel
+    (which runs the fDCT in VMEM), plus per-block DC diff codes and table
+    groups.  The DC coefficient alone is computed here via the collapsed
+    fDCT chain (ops/pallas_fdct.fdct_dc) — the predictor diff
+    (src/enc.cc:482-499) is a cross-block chain that must precede the
+    per-tile kernel."""
+    from .ops import pallas_fdct
+
+    mcu_blocks = sum(nb_blocks)
+    n_mcu = blocks[0].shape[0] // nb_blocks[0]
+    sinter = jnp.concatenate(
+        [b.reshape(n_mcu, nb, 64) for b, nb in zip(blocks, nb_blocks)],
+        axis=1).reshape(-1, 64)
+
+    dc_cols = []
+    for c, (b, nb) in enumerate(zip(blocks, nb_blocks)):
+        g = 0 if c == 0 else 1
+        dc = pallas_fdct.fdct_dc(b)
+        t = (jnp.abs(dc) + ibias[g, 0]).astype(jnp.uint32)
+        q = ((t * iquant[g, 0].astype(jnp.uint32)) >> C.FP_BITS).astype(
+            jnp.int32) >> C.AC_BITS
+        dcq = jnp.where(dc < 0, -q, q)
+        codes = vlc.dc_diff_codes(dcq, n_images)
+        dc_cols.append(codes.reshape(n_mcu, nb))
+    dc_codes = jnp.concatenate(dc_cols, axis=1).reshape(-1)
+
+    slot_group = np.zeros(mcu_blocks, dtype=np.int32)
+    slot_group[nb_blocks[0]:] = 1 if len(nb_blocks) > 1 else 0
+    group = jnp.tile(jnp.asarray(slot_group), n_mcu)
+    return sinter, dc_codes, group
+
+
 @functools.partial(jax.jit, static_argnames=("nb_blocks", "n_images"))
 def _stage_trellis_prep(coeffs, iquant, ibias, quant, nb_blocks,
                         n_images: int = 1):
@@ -353,16 +386,18 @@ def _encode_core_body(src, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
         blocks = colorspace.planes_to_blocks(src, yuv_mode, width, height)
     else:
         blocks = colorspace.rgb_to_blocks(src, yuv_mode, width, height)
-    coeffs = [fdct.fdct_blocks(b) for b in blocks]
 
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
+        # samples go straight into the fused Pallas kernel (in-kernel
+        # fDCT): the [N, 64] coefficient plane never reaches HBM
         from .ops import pallas_quant_pack
-        cinter, dc_codes, group = _interleave_coeffs(
-            coeffs, iquant, ibias, nb_blocks, n_images)
-        words, bit_lens = pallas_quant_pack.quant_vlc_pack_pallas(
-            cinter, dc_codes, group, iquant, ibias, dc_luts, ac_luts)
+        sinter, dc_codes, group = _interleave_samples(
+            blocks, iquant, ibias, nb_blocks, n_images)
+        words, bit_lens = pallas_quant_pack.sample_vlc_pack_pallas(
+            sinter, dc_codes, group, iquant, ibias, dc_luts, ac_luts)
     else:
+        coeffs = [fdct.fdct_blocks(b) for b in blocks]
         rl, dc_codes, group = _interleave_quantized(coeffs, iquant, ibias,
                                                     nb_blocks, n_images)
         vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts,

@@ -59,10 +59,20 @@ def blockize_420_luma(plane):
     return x.transpose(perm).reshape(-1, 64)
 
 
+def _channel_planes(rgb):
+    """[..., H, W, 3] uint8 -> three [..., H, W] int32 planes.
+
+    Slicing the uint8 channels before widening keeps XLA from
+    materializing (and re-laying-out) an int32 copy of the whole
+    interleaved image — the relayout copy alone cost ~2.6 ms per
+    16x1024^2 batch in traces."""
+    return (rgb[..., 0].astype(jnp.int32), rgb[..., 1].astype(jnp.int32),
+            rgb[..., 2].astype(jnp.int32))
+
+
 def rgb_to_yuv444_planes(rgb):
     """[..., H, W, 3] uint8 -> (y, u, v) [..., H, W] int32, centered on 0."""
-    rgb = rgb.astype(jnp.int32)
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    r, g, b = _channel_planes(rgb)
     y = (19595 * r + 38469 * g + 7471 * b + C.ROUND_Y) >> C.YUV_FRAC
     u = (-11059 * r - 21709 * g + 32768 * b + C.YUV_HALF) >> C.YUV_FRAC
     v = (32768 * r - 27439 * g - 5329 * b + C.YUV_HALF) >> C.YUV_FRAC
@@ -70,9 +80,15 @@ def rgb_to_yuv444_planes(rgb):
 
 
 def rgb_to_y_plane(rgb):
-    rgb = rgb.astype(jnp.int32)
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    r, g, b = _channel_planes(rgb)
     return (19595 * r + 38469 * g + 7471 * b + C.ROUND_Y) >> C.YUV_FRAC
+
+
+def _quad_sum(x):
+    """Sum of each 2x2 quad of [..., H, W] -> [..., H/2, W/2] int32."""
+    *lead, h, w = x.shape
+    cols = x.reshape(*lead, h, w // 2, 2).sum(axis=-1)
+    return cols.reshape(*lead, h // 2, 2, w // 2).sum(axis=-2)
 
 
 def rgb_to_yuv420_planes(rgb):
@@ -80,12 +96,13 @@ def rgb_to_yuv420_planes(rgb):
 
     Chroma derives from the sum of each 2x2 RGB quad with ROUND_UV rounding
     and a FRAC+2 shift, matching the reference's summed-quad fixed point.
+    Quad sums run per channel plane (pair-reduce on the minor axis, then
+    the row axis) — the interleaved 6-D reshape+reduce formulation forced
+    an awkward T(2,128) layout and a multi-ms reduction in traces.
     """
     y = rgb_to_y_plane(rgb)
-    *lead, h, w, _ = rgb.shape
-    q = rgb.astype(jnp.int32).reshape(*lead, h // 2, 2, w // 2, 2, 3)
-    s = q.sum(axis=(-4, -2))
-    r, g, b = s[..., 0], s[..., 1], s[..., 2]
+    r, g, b = _channel_planes(rgb)
+    r, g, b = _quad_sum(r), _quad_sum(g), _quad_sum(b)
     u = (-11059 * r - 21709 * g + 32768 * b + C.ROUND_UV) >> (C.YUV_FRAC + 2)
     v = (32768 * r - 27439 * g - 5329 * b + C.ROUND_UV) >> (C.YUV_FRAC + 2)
     return y, u, v

@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
+from . import pallas_fdct
 from .pallas_vlc_pack import WORDS, fields_to_words
 
 DEFAULT_TILE = 512
@@ -80,9 +81,12 @@ def _quant_pack_body(coef, dc_code, group, iquant_ref, ibias_ref,
         jnp.int32) >> C.AC_BITS
     q = jnp.where(coef < 0, -q, q)
 
-    # --- zigzag permutation on the MXU (values <= 2047: f32-exact) ---
+    # --- zigzag permutation on the MXU (values <= 2047: f32-exact;
+    # precision=HIGHEST because the TPU default truncates inputs to
+    # bf16, whose 8-bit mantissa cannot carry 11-bit levels) ---
     zz = jnp.dot(q.astype(jnp.float32), zz_ref[:],
-                 preferred_element_type=jnp.float32).astype(jnp.int32)
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
 
     # --- run/level fields ---
     lane64 = jax.lax.broadcasted_iota(jnp.int32, (T, 64), 1)
@@ -108,6 +112,76 @@ def _quant_pack_kernel(coef_ref, dc_ref, group_ref, iquant_ref, ibias_ref,
         zz_ref, dc_lut_ref, ac_lut_ref)
     words_ref[:] = words
     total_ref[:] = total
+
+
+def _sample_pack_kernel(x_ref, dc_ref, group_ref, iquant_ref, ibias_ref,
+                        zz_ref, fa_ref, fpc_ref, fb_ref, fpo_ref, fkv_ref,
+                        dc_lut_ref, ac_lut_ref, words_ref, total_ref):
+    """Samples-in variant: runs the in-kernel fDCT (pallas_fdct.fdct_body,
+    MXU matmuls + int32 fixups) before the shared quantize/VLC/pack body,
+    so raw centered samples go in and packed bit streams come out — the
+    [N, 64] coefficient plane never exists in HBM."""
+    coef = pallas_fdct.fdct_body(x_ref[:], fa_ref, fpc_ref, fb_ref,
+                                 fpo_ref, fkv_ref)
+    words, total = _quant_pack_body(
+        coef, dc_ref[:], group_ref[:], iquant_ref, ibias_ref,
+        zz_ref, dc_lut_ref, ac_lut_ref)
+    words_ref[:] = words
+    total_ref[:] = total
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
+                           dc_luts, ac_luts, tile: int = DEFAULT_TILE):
+    """Fused fDCT + quantize + zigzag + run/level + VLC + pack.
+
+    samples: [N, 64] int32 raster-order centered samples, MCU-interleaved;
+    other arguments as in quant_vlc_pack_pallas (dc_codes come from the
+    cheap XLA DC chain over pallas_fdct.fdct_dc).
+    """
+    N = samples.shape[0]
+    rem = (-N) % tile
+    if rem:
+        samples = jnp.pad(samples, ((0, rem), (0, 0)))
+        dc_codes = jnp.pad(dc_codes, (0, rem))
+        group = jnp.pad(group, (0, rem))
+    NP = N + rem
+    A, PC, B, PO, KV = pallas_fdct.fdct_matrices()
+
+    spec64 = pl.BlockSpec((tile, 64), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    lut_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                          memory_space=pltpu.SMEM)
+    words, totals = pl.pallas_call(
+        _sample_pack_kernel,
+        grid=(NP // tile,),
+        in_specs=[spec64, spec1, spec1, const((2, 64)), const((2, 64)),
+                  const((64, 64)), const((64, 64)), const((64, 64)),
+                  const((64, 64)), const((64, 64)), const((8, 64)),
+                  lut_spec((2, 16)), lut_spec((2, 256))],
+        out_specs=(
+            pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NP, WORDS), jnp.uint32),
+            jax.ShapeDtypeStruct((NP, 1), jnp.int32),
+        ),
+    )(samples.astype(jnp.int32),
+      dc_codes.reshape(-1, 1).astype(jnp.int32),
+      group.reshape(-1, 1).astype(jnp.int32),
+      iquant2.astype(jnp.int32), ibias2.astype(jnp.int32),
+      jnp.asarray(_zigzag_matrix()),
+      jnp.asarray(A), jnp.asarray(PC), jnp.asarray(B), jnp.asarray(PO),
+      jnp.asarray(KV),
+      dc_luts.astype(jnp.uint32), ac_luts.astype(jnp.uint32))
+    return words[:N], totals[:N, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))

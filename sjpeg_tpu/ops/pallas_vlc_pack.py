@@ -74,12 +74,14 @@ def fields_to_words(run, size, code, nz, dc_code, group, dc_lut_ref,
     # not reuse slots of unrolled loops) with dynamic SMEM scalar reads
     sym = ((run & 15) << 4) | size
 
-    # dynamic size bound: only size classes present in the tile are scanned
+    # dynamic size bound: only size classes present in the tile are
+    # scanned; the 16 run nibbles stay statically unrolled — sparse blocks
+    # routinely carry runs near 15, and a nested dynamic loop costs more
+    # in per-iteration scalar overhead than the selects it skips
     smax = jnp.max(jnp.where(nz, size, 0))
 
     def lut_step(i, acc):
         s_cls = i + 1
-        # all 16 run nibbles of one size class, statically unrolled
         for r in range(16):
             k = ((r << 4) | s_cls).astype(jnp.int32)
             leaf = jnp.where(grp0, ac_lut_ref[0, k], ac_lut_ref[1, k])
@@ -103,7 +105,7 @@ def fields_to_words(run, size, code, nz, dc_code, group, dc_lut_ref,
         return acc | jnp.where(dcl == k, leaf, jnp.uint32(0))
 
     dc_packed = jax.lax.fori_loop(
-        0, 12, dc_step, jnp.zeros_like(dcl).astype(jnp.uint32))
+        0, jnp.max(dcl) + 1, dc_step, jnp.zeros_like(dcl).astype(jnp.uint32))
 
     # ---- per-position entry fields ----
     sym_val = (s_code << size.astype(jnp.uint32)) | code
@@ -160,27 +162,40 @@ def fields_to_words(run, size, code, nz, dc_code, group, dc_lut_ref,
                        jnp.uint32(0)).astype(jnp.int32)
         return hi, lo, offs >> 5
 
-    fields = [split(ep_val, ep_len, ep_off),
-              split(es_val, es_len, es_off),
-              split(sym_val, sym_len, sym_off),
-              split(eob_val, eob_len, total_no_eob)]
-
     lane64u = lane64
 
-    def word_step(w, words_acc):
-        acc = jnp.zeros((T, 1), jnp.int32)
-        for hi, lo, q in fields:
-            acc = acc + jnp.sum(jnp.where(q == w, hi, 0), axis=1,
-                                keepdims=True)
-            acc = acc + jnp.sum(jnp.where(q == w - 1, lo, 0), axis=1,
-                                keepdims=True)
-        return words_acc | jnp.where(lane64u == w, acc,
-                                     0).astype(jnp.uint32)
+    def word_loop(fields, init):
+        def word_step(w, words_acc):
+            acc = jnp.zeros((T, 1), jnp.int32)
+            for hi, lo, q in fields:
+                acc = acc + jnp.sum(jnp.where(q == w, hi, 0), axis=1,
+                                    keepdims=True)
+                acc = acc + jnp.sum(jnp.where(q == w - 1, lo, 0), axis=1,
+                                    keepdims=True)
+            return words_acc | jnp.where(lane64u == w, acc,
+                                         0).astype(jnp.uint32)
 
-    # dynamic bound: only words below the tile's longest stream are filled
+        # dynamic bound: only words below the tile's longest stream
+        return jax.lax.fori_loop(0, wmax, word_step, init)
+
     wmax = (jnp.max(total) + 31) >> 5
-    words = jax.lax.fori_loop(
-        0, wmax, word_step, jnp.zeros((T, WORDS), jnp.uint32))
+    words = word_loop([split(sym_val, sym_len, sym_off)],
+                      jnp.zeros((T, WORDS), jnp.uint32))
+
+    # escape runs (>= 16 zeros) are rare: fold their two fields in only
+    # when the tile contains any, halving the word loop on typical tiles
+    words = jax.lax.cond(
+        jnp.any(n_esc > 0),
+        lambda ws: word_loop([split(ep_val, ep_len, ep_off),
+                              split(es_val, es_len, es_off)], ws),
+        lambda ws: ws, words)
+
+    # EOB: exactly one right-aligned entry per block at a known offset —
+    # OR it straight into its (at most two) words by lane match instead of
+    # carrying a third field through the word loop (bits are disjoint)
+    ehi, elo, eq = split(eob_val, eob_len, total_no_eob)
+    words = words | jnp.where(lane64u == eq, ehi, 0).astype(jnp.uint32) \
+                  | jnp.where(lane64u == eq + 1, elo, 0).astype(jnp.uint32)
     return words, total
 
 

@@ -567,3 +567,77 @@ def test_encode_batch_relay_fused_byte_identical(rng, monkeypatch):
         got = engine.encode_batch(imgs, p, share_statistics=share)
         monkeypatch.undo()
         assert got == want, (mode, share)
+
+
+def test_pallas_fdct_matches_xla_interpret(rng):
+    """In-kernel MXU fDCT (pallas_fdct, interpret mode) vs the XLA fDCT,
+    which is itself oracle-pinned, plus the collapsed DC chain."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.ops import pallas_fdct
+
+    blocks = rng.randint(-128, 128, (300, 64)).astype(np.int32)
+    blocks[0, :] = 127
+    blocks[1, :] = -128
+    want = np.asarray(fdct.fdct_blocks(jnp.asarray(blocks)))
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        got = np.asarray(pallas_fdct.fdct_blocks_pallas.__wrapped__(
+            jnp.asarray(blocks), tile=64))
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_array_equal(got, want)
+
+    dc = np.asarray(pallas_fdct.fdct_dc(jnp.asarray(blocks)))
+    np.testing.assert_array_equal(dc, want[:, 0])
+
+
+def test_pallas_sample_pack_matches_interpret(rng):
+    """Samples-in fused kernel (fDCT in VMEM, interpret mode) ==
+    coefficients-in kernel on the same blocks."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.engine import (_device_luts, _interleave_coeffs,
+                                  _interleave_samples,
+                                  _quant_device_arrays)
+    from sjpeg_tpu.huffman import k3_default_tables
+    from sjpeg_tpu.ops import pallas_quant_pack as pqp
+
+    n_mcu, nb = 8, (4, 1, 1)
+    from sjpeg_tpu.params import quant_matrices_for_quality
+    qmats = quant_matrices_for_quality(75.0)
+    qm = [spec.finalize_quant_matrix(qmats[i], np.ones(64, np.uint8),
+                                     C.DEFAULT_BIAS) for i in range(2)]
+    iq, ib = _quant_device_arrays(qm)
+    dc_luts, ac_luts = _device_luts(k3_default_tables())
+
+    blocks = []
+    for c, n in enumerate(nb):
+        b = rng.randint(-128, 128, (n_mcu * n, 64)).astype(np.int32)
+        blocks.append(jnp.asarray(b))
+    coeffs = [fdct.fdct_blocks(b) for b in blocks]
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        cinter, dc1, group1 = _interleave_coeffs(coeffs, iq, ib, nb)
+        want_w, want_t = pqp.quant_vlc_pack_pallas.__wrapped__(
+            cinter, dc1, group1, iq, ib, dc_luts, ac_luts, tile=16)
+        sinter, dc2, group2 = _interleave_samples(blocks, iq, ib, nb)
+        np.testing.assert_array_equal(np.asarray(dc2), np.asarray(dc1))
+        got_w, got_t = pqp.sample_vlc_pack_pallas.__wrapped__(
+            sinter, dc2, group2, iq, ib, dc_luts, ac_luts, tile=16)
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(want_w))
