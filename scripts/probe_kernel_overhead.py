@@ -43,7 +43,7 @@ def timeit(fn, reps=8):
     return max((t_n - t_one) / (reps - 1), t_n / reps)
 
 
-def make(kind):
+def make(kind, tile=TILE):
     def kernel(x_ref, out_ref):
         x = x_ref[:]
         if kind == "copy":
@@ -68,10 +68,10 @@ def make(kind):
 
     @jax.jit
     def run(x):
-        spec = pl.BlockSpec((TILE, 64), lambda i: (i, 0),
+        spec = pl.BlockSpec((tile, 64), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            kernel, grid=(N // TILE,), in_specs=[spec], out_specs=spec,
+            kernel, grid=(N // tile,), in_specs=[spec], out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((N, 64), jnp.int32))(x)
 
     return run
@@ -80,10 +80,12 @@ def make(kind):
 def main():
     rng = np.random.RandomState(0)
     x = jax.device_put(rng.randint(0, 100, (N, 64)).astype(np.int32))
-    for kind in ("copy", "static5", "reduce5"):
-        dt = timeit(make(kind), reps=8)
-        print(f"{kind:8s}: {dt*1e3:7.2f} ms "
-              f"({dt/ (N // TILE) * 1e6:5.1f} us/step)")
+    for kind, tile in (("copy", 512), ("copy", 2048), ("copy", 8192),
+                       ("static5", 512), ("reduce5", 512)):
+        run = make(kind, tile)
+        dt = timeit(lambda: run(x), reps=8)
+        print(f"{kind:8s} tile {tile:5d}: {dt*1e3:7.2f} ms "
+              f"({dt / (N // tile) * 1e6:5.1f} us/step)")
 
 
 if __name__ == "__main__":
