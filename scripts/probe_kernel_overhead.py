@@ -43,8 +43,9 @@ def timeit(fn, reps=8):
     return max((t_n - t_one) / (reps - 1), t_n / reps)
 
 
-def make(kind, tile=TILE):
-    def kernel(x_ref, out_ref):
+def make(kind, tile=TILE, lanes=64, parallel=False, narrow=0):
+    def kernel(*refs):
+        x_ref, out_ref = refs[0], refs[-1]
         x = x_ref[:]
         if kind == "copy":
             out_ref[:] = x
@@ -66,13 +67,26 @@ def make(kind, tile=TILE):
                     acc)
         out_ref[:] = acc + x
 
+    rows = N * 64 // lanes
+
     @jax.jit
     def run(x):
-        spec = pl.BlockSpec((tile, 64), lambda i: (i, 0),
+        x = x.reshape(rows, lanes)
+        t = tile * 64 // lanes
+        spec = pl.BlockSpec((t, lanes), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+        nspec = pl.BlockSpec((t, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        kwargs = {}
+        if parallel:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel",))
+        extras = [jnp.zeros((rows, 1), jnp.int32)] * narrow
         return pl.pallas_call(
-            kernel, grid=(N // tile,), in_specs=[spec], out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct((N, 64), jnp.int32))(x)
+            kernel, grid=(rows // t,),
+            in_specs=[spec] + [nspec] * narrow, out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.int32),
+            **kwargs)(x, *extras)
 
     return run
 
@@ -80,12 +94,17 @@ def make(kind, tile=TILE):
 def main():
     rng = np.random.RandomState(0)
     x = jax.device_put(rng.randint(0, 100, (N, 64)).astype(np.int32))
-    for kind, tile in (("copy", 512), ("copy", 2048), ("copy", 8192),
-                       ("static5", 512), ("reduce5", 512)):
-        run = make(kind, tile)
+    cases = [("copy 64L", dict(tile=512)),
+             ("copy 128L", dict(tile=512, lanes=128)),
+             ("copy 64L par", dict(tile=512, parallel=True)),
+             ("copy 128L par", dict(tile=512, lanes=128, parallel=True)),
+             ("copy +2narrow", dict(tile=512, narrow=2)),
+             ("copy 128L par +2n", dict(tile=512, lanes=128, parallel=True,
+                                        narrow=2))]
+    for name, kw in cases:
+        run = make("copy", **kw)
         dt = timeit(lambda: run(x), reps=8)
-        print(f"{kind:8s} tile {tile:5d}: {dt*1e3:7.2f} ms "
-              f"({dt / (N // tile) * 1e6:5.1f} us/step)")
+        print(f"{name:18s}: {dt*1e3:7.2f} ms")
 
 
 if __name__ == "__main__":

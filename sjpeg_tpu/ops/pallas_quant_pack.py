@@ -29,7 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from . import pallas_fdct
-from .pallas_vlc_pack import WORDS, fields_to_words
+from .pallas_vlc_pack import (LANE, WORDS, cols_from_lanes, fields_to_words,
+                              lanes_from_cols, pack_block_meta,
+                              unpack_block_meta)
 
 DEFAULT_TILE = 512
 
@@ -104,17 +106,18 @@ def _quant_pack_body(coef, dc_code, group, iquant_ref, ibias_ref,
                            dc_lut_ref, ac_lut_ref)
 
 
-def _quant_pack_kernel(coef_ref, dc_ref, group_ref, iquant_ref, ibias_ref,
+def _quant_pack_kernel(coef_ref, meta_ref, iquant_ref, ibias_ref,
                        zz_ref, dc_lut_ref, ac_lut_ref, words_ref,
                        total_ref):
+    dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
     words, total = _quant_pack_body(
-        coef_ref[:], dc_ref[:], group_ref[:], iquant_ref, ibias_ref,
+        coef_ref[:], dc, group, iquant_ref, ibias_ref,
         zz_ref, dc_lut_ref, ac_lut_ref)
     words_ref[:] = words
-    total_ref[:] = total
+    total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
 
 
-def _sample_pack_kernel(x_ref, dc_ref, group_ref, iquant_ref, ibias_ref,
+def _sample_pack_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
                         zz_ref, fa_ref, fpc_ref, fb_ref, fpo_ref, fkv_ref,
                         dc_lut_ref, ac_lut_ref, words_ref, total_ref):
     """Samples-in variant: runs the in-kernel fDCT (pallas_fdct.fdct_body,
@@ -123,11 +126,12 @@ def _sample_pack_kernel(x_ref, dc_ref, group_ref, iquant_ref, ibias_ref,
     [N, 64] coefficient plane never exists in HBM."""
     coef = pallas_fdct.fdct_body(x_ref[:], fa_ref, fpc_ref, fb_ref,
                                  fpo_ref, fkv_ref)
+    dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
     words, total = _quant_pack_body(
-        coef, dc_ref[:], group_ref[:], iquant_ref, ibias_ref,
+        coef, dc, group, iquant_ref, ibias_ref,
         zz_ref, dc_lut_ref, ac_lut_ref)
     words_ref[:] = words
-    total_ref[:] = total
+    total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -147,11 +151,16 @@ def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
         group = jnp.pad(group, (0, rem))
     NP = N + rem
     A, PC, B, PO, KV = pallas_fdct.fdct_matrices()
+    # Mosaic block rule: sublane dim divisible by 8 -> 64-lane meta rows
+    # give an (8, 64) block at the production tile; tiny test tiles fall
+    # back to one row per block (interpret mode does not enforce tiling)
+    mw = 64 if tile % 512 == 0 else tile
+    meta = pack_block_meta(dc_codes, group).reshape(NP // mw, mw)
 
     spec64 = pl.BlockSpec((tile, 64), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec1 = pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
+    spec_meta = pl.BlockSpec((tile // mw, mw), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     lut_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -159,29 +168,26 @@ def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
     words, totals = pl.pallas_call(
         _sample_pack_kernel,
         grid=(NP // tile,),
-        in_specs=[spec64, spec1, spec1, const((2, 64)), const((2, 64)),
+        in_specs=[spec64, spec_meta, const((2, 64)), const((2, 64)),
                   const((64, 64)), const((64, 64)), const((64, 64)),
                   const((64, 64)), const((64, 64)), const((8, 64)),
                   lut_spec((2, 16)), lut_spec((2, 256))],
         out_specs=(
             pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            spec_meta,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((NP, WORDS), jnp.uint32),
-            jax.ShapeDtypeStruct((NP, 1), jnp.int32),
+            jax.ShapeDtypeStruct((NP // mw, mw), jnp.int32),
         ),
-    )(samples.astype(jnp.int32),
-      dc_codes.reshape(-1, 1).astype(jnp.int32),
-      group.reshape(-1, 1).astype(jnp.int32),
+    )(samples.astype(jnp.int32), meta,
       iquant2.astype(jnp.int32), ibias2.astype(jnp.int32),
       jnp.asarray(_zigzag_matrix()),
       jnp.asarray(A), jnp.asarray(PC), jnp.asarray(B), jnp.asarray(PO),
       jnp.asarray(KV),
       dc_luts.astype(jnp.uint32), ac_luts.astype(jnp.uint32))
-    return words[:N], totals[:N, 0]
+    return words[:N], totals.reshape(-1)[:N]
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -203,11 +209,16 @@ def quant_vlc_pack_pallas(coeffs, dc_codes, group, iquant2, ibias2,
         dc_codes = jnp.pad(dc_codes, (0, rem))
         group = jnp.pad(group, (0, rem))
     NP = N + rem
+    # Mosaic block rule: sublane dim divisible by 8 -> 64-lane meta rows
+    # give an (8, 64) block at the production tile; tiny test tiles fall
+    # back to one row per block (interpret mode does not enforce tiling)
+    mw = 64 if tile % 512 == 0 else tile
+    meta = pack_block_meta(dc_codes, group).reshape(NP // mw, mw)
 
     spec64 = pl.BlockSpec((tile, 64), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec1 = pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
+    spec_meta = pl.BlockSpec((tile // mw, mw), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     const64 = pl.BlockSpec((2, 64), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
     zz_spec = pl.BlockSpec((64, 64), lambda i: (0, 0),
@@ -217,22 +228,19 @@ def quant_vlc_pack_pallas(coeffs, dc_codes, group, iquant2, ibias2,
     words, totals = pl.pallas_call(
         _quant_pack_kernel,
         grid=(NP // tile,),
-        in_specs=[spec64, spec1, spec1, const64, const64, zz_spec,
+        in_specs=[spec64, spec_meta, const64, const64, zz_spec,
                   lut_spec((2, 16)), lut_spec((2, 256))],
         out_specs=(
             pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            spec_meta,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((NP, WORDS), jnp.uint32),
-            jax.ShapeDtypeStruct((NP, 1), jnp.int32),
+            jax.ShapeDtypeStruct((NP // mw, mw), jnp.int32),
         ),
-    )(coeffs.astype(jnp.int32),
-      dc_codes.reshape(-1, 1).astype(jnp.int32),
-      group.reshape(-1, 1).astype(jnp.int32),
+    )(coeffs.astype(jnp.int32), meta,
       iquant2.astype(jnp.int32), ibias2.astype(jnp.int32),
       jnp.asarray(_zigzag_matrix()),
       dc_luts.astype(jnp.uint32), ac_luts.astype(jnp.uint32))
-    return words[:N], totals[:N, 0]
+    return words[:N], totals.reshape(-1)[:N]

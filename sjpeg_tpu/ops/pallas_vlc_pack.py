@@ -31,15 +31,63 @@ ENTRIES = 192
 WORDS = 64
 DEFAULT_TILE = 512
 _MAX_SIZE = 11          # max AC size category (coeffs are <= 11 bits)
+LANE = 128
+
+# Per-block scalars (DC code, table group, total bits) cost ~1.7 ms of
+# DMA each per 393k-block batch when shipped as [N, 1] arrays — TPU
+# tiled layouts pad the minor dim to 128 lanes.  Instead they travel as
+# full-lane [N/128, 128] rows and convert to/from the kernel's [T, 1]
+# per-row shape with a diagonal extract/spread (a handful of [128, 128]
+# VPU ops per tile).
+_META_GROUP_SHIFT = 20
 
 
-def _vlc_pack_kernel(run_ref, size_ref, code_ref, dc_ref, group_ref,
+def _eye(w):
+    return (jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (w, w), 1))
+
+
+def cols_from_lanes(blk):
+    """[T/W, W] lane-packed values -> [T, 1] per-row column."""
+    eye = _eye(blk.shape[1])
+    outs = []
+    for k in range(blk.shape[0]):
+        row = blk[k:k + 1, :]
+        outs.append(jnp.sum(jnp.where(eye, row, 0), axis=1,
+                            keepdims=True))
+    return jnp.concatenate(outs, axis=0)
+
+
+def lanes_from_cols(col, w):
+    """[T, 1] per-row column -> [T/w, w] lane-packed values."""
+    eye = _eye(w)
+    outs = []
+    for k in range(col.shape[0] // w):
+        c = jax.lax.slice_in_dim(col, k * w, (k + 1) * w, axis=0)
+        outs.append(jnp.sum(jnp.where(eye, c, 0), axis=0, keepdims=True))
+    return jnp.concatenate(outs, axis=0)
+
+
+def pack_block_meta(dc_codes, group):
+    """[N] dc codes (<= 2^16) + [N] table groups -> [N] packed meta."""
+    return (dc_codes.astype(jnp.int32)
+            | (group.astype(jnp.int32) << _META_GROUP_SHIFT))
+
+
+def unpack_block_meta(meta_col):
+    dc = meta_col & ((1 << _META_GROUP_SHIFT) - 1)
+    group = meta_col >> _META_GROUP_SHIFT
+    return dc, group
+
+
+def _vlc_pack_kernel(run_ref, size_ref, code_ref, meta_ref,
                      dc_lut_ref, ac_lut_ref, words_ref, total_ref):
+    dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
     words, total = _vlc_pack_body(
-        run_ref[:], size_ref[:], code_ref[:], dc_ref[:], group_ref[:],
+        run_ref[:], size_ref[:], code_ref[:], dc, group,
         dc_lut_ref, ac_lut_ref)
     words_ref[:] = words
-    total_ref[:] = total
+    total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
 
 
 def _vlc_pack_body(run, size, code, dc_code, group, ac_scalar_src_dc,
@@ -209,15 +257,16 @@ class _DropLead:
         return self._ref[(0,) + tuple(idx)]
 
 
-def _vlc_pack_kernel_sets(run_ref, size_ref, code_ref, dc_ref, group_ref,
+def _vlc_pack_kernel_sets(run_ref, size_ref, code_ref, meta_ref,
                           dc_lut_ref, ac_lut_ref, words_ref, total_ref):
     """Per-image-LUT variant: LUT refs carry a leading singleton dim
     (the image slice picked by the BlockSpec index map)."""
+    dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
     words, total = _vlc_pack_body(
-        run_ref[:], size_ref[:], code_ref[:], dc_ref[:], group_ref[:],
+        run_ref[:], size_ref[:], code_ref[:], dc, group,
         _DropLead(dc_lut_ref), _DropLead(ac_lut_ref))
     words_ref[:] = words
-    total_ref[:] = total
+    total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "tiles_per_img"))
@@ -247,11 +296,16 @@ def vlc_pack_pallas(run, size, code, dc_codes, group, dc_luts, ac_luts,
         dc_codes = jnp.pad(dc_codes, (0, rem))
         group = jnp.pad(group, (0, rem))
     NP = N + rem
+    # Mosaic block rule: sublane dim divisible by 8 -> 64-lane meta rows
+    # give an (8, 64) block at the production tile; tiny test tiles fall
+    # back to one row per block (interpret mode does not enforce tiling)
+    mw = 64 if tile % 512 == 0 else tile
+    meta = pack_block_meta(dc_codes, group).reshape(NP // mw, mw)
 
     spec64 = pl.BlockSpec((tile, 64), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec1 = pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
+    spec_meta = pl.BlockSpec((tile // mw, mw), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     if tiles_per_img:
         assert dc_luts.ndim == 3 and NP // tile == \
             dc_luts.shape[0] * tiles_per_img
@@ -267,20 +321,17 @@ def vlc_pack_pallas(run, size, code, dc_codes, group, dc_luts, ac_luts,
     words, totals = pl.pallas_call(
         kernel,
         grid=(NP // tile,),
-        in_specs=[spec64, spec64, spec64, spec1, spec1,
+        in_specs=[spec64, spec64, spec64, spec_meta,
                   lut_spec((2, 16)), lut_spec((2, 256))],
         out_specs=(
             pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            spec_meta,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((NP, WORDS), jnp.uint32),
-            jax.ShapeDtypeStruct((NP, 1), jnp.int32),
+            jax.ShapeDtypeStruct((NP // mw, mw), jnp.int32),
         ),
-    )(run, size, code.astype(jnp.int32),
-      dc_codes.reshape(-1, 1).astype(jnp.int32),
-      group.reshape(-1, 1).astype(jnp.int32),
+    )(run, size, code.astype(jnp.int32), meta,
       dc_luts.astype(jnp.uint32), ac_luts.astype(jnp.uint32))
-    return words[:N], totals[:N, 0]
+    return words[:N], totals.reshape(-1)[:N]
