@@ -167,8 +167,11 @@ def _interleave_samples(blocks, iquant, ibias, nb_blocks, n_images=1):
 
     mcu_blocks = sum(nb_blocks)
     n_mcu = blocks[0].shape[0] // nb_blocks[0]
+    # centered samples fit int8 exactly: the interleave concat and the
+    # kernel's input DMA move a quarter of the int32 bytes
     sinter = jnp.concatenate(
-        [b.reshape(n_mcu, nb, 64) for b, nb in zip(blocks, nb_blocks)],
+        [b.astype(jnp.int8).reshape(n_mcu, nb, 64)
+         for b, nb in zip(blocks, nb_blocks)],
         axis=1).reshape(-1, 64)
 
     dc_cols = []

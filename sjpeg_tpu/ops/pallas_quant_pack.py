@@ -124,8 +124,8 @@ def _sample_pack_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
     MXU matmuls + int32 fixups) before the shared quantize/VLC/pack body,
     so raw centered samples go in and packed bit streams come out — the
     [N, 64] coefficient plane never exists in HBM."""
-    coef = pallas_fdct.fdct_body(x_ref[:], fa_ref, fpc_ref, fb_ref,
-                                 fpo_ref, fkv_ref)
+    coef = pallas_fdct.fdct_body(x_ref[:].astype(jnp.int32), fa_ref,
+                                 fpc_ref, fb_ref, fpo_ref, fkv_ref)
     dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
     words, total = _quant_pack_body(
         coef, dc, group, iquant_ref, ibias_ref,
@@ -139,9 +139,10 @@ def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
                            dc_luts, ac_luts, tile: int = DEFAULT_TILE):
     """Fused fDCT + quantize + zigzag + run/level + VLC + pack.
 
-    samples: [N, 64] int32 raster-order centered samples, MCU-interleaved;
-    other arguments as in quant_vlc_pack_pallas (dc_codes come from the
-    cheap XLA DC chain over pallas_fdct.fdct_dc).
+    samples: [N, 64] int8 (or int32) raster-order centered samples,
+    MCU-interleaved; other arguments as in quant_vlc_pack_pallas
+    (dc_codes come from the cheap XLA DC chain over pallas_fdct.fdct_dc).
+    Samples ship as int8 — a quarter of the input DMA.
     """
     N = samples.shape[0]
     rem = (-N) % tile
@@ -181,7 +182,7 @@ def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
             jax.ShapeDtypeStruct((NP, WORDS), jnp.uint32),
             jax.ShapeDtypeStruct((NP // mw, mw), jnp.int32),
         ),
-    )(samples.astype(jnp.int32), meta,
+    )(samples.astype(jnp.int8), meta,
       iquant2.astype(jnp.int32), ibias2.astype(jnp.int32),
       jnp.asarray(_zigzag_matrix()),
       jnp.asarray(A), jnp.asarray(PC), jnp.asarray(B), jnp.asarray(PO),

@@ -213,13 +213,19 @@ def fields_to_words(run, size, code, nz, dc_code, group, dc_lut_ref,
     lane64u = lane64
 
     def word_loop(fields, init):
+        # fold every entry's straddling halves into one lane-doubled
+        # array (the lo half targets word q+1), so each word iteration is
+        # a single masked reduce instead of two per field
+        vals, qs = [], []
+        for hi, lo, q in fields:
+            vals.extend((hi, lo))
+            qs.extend((q, q + 1))
+        v2 = jnp.concatenate(vals, axis=1)
+        q2 = jnp.concatenate(qs, axis=1)
+
         def word_step(w, words_acc):
-            acc = jnp.zeros((T, 1), jnp.int32)
-            for hi, lo, q in fields:
-                acc = acc + jnp.sum(jnp.where(q == w, hi, 0), axis=1,
-                                    keepdims=True)
-                acc = acc + jnp.sum(jnp.where(q == w - 1, lo, 0), axis=1,
-                                    keepdims=True)
+            acc = jnp.sum(jnp.where(q2 == w, v2, 0), axis=1,
+                          keepdims=True)
             return words_acc | jnp.where(lane64u == w, acc,
                                          0).astype(jnp.uint32)
 
