@@ -178,10 +178,17 @@ def _interleave_samples(blocks, iquant, ibias, nb_blocks, n_images=1):
     for c, (b, nb) in enumerate(zip(blocks, nb_blocks)):
         g = 0 if c == 0 else 1
         dc = pallas_fdct.fdct_dc(b)
-        t = (jnp.abs(dc) + ibias[g, 0]).astype(jnp.uint32)
-        q = ((t * iquant[g, 0].astype(jnp.uint32)) >> C.FP_BITS).astype(
-            jnp.int32) >> C.AC_BITS
-        dcq = jnp.where(dc < 0, -q, q)
+        if iquant.ndim == 3:                     # per-image matrices
+            dcr = dc.reshape(n_images, -1)
+            t = (jnp.abs(dcr) + ibias[:, g, 0][:, None]).astype(jnp.uint32)
+            q = ((t * iquant[:, g, 0][:, None].astype(jnp.uint32))
+                 >> C.FP_BITS).astype(jnp.int32) >> C.AC_BITS
+            dcq = jnp.where(dcr < 0, -q, q).reshape(-1)
+        else:
+            t = (jnp.abs(dc) + ibias[g, 0]).astype(jnp.uint32)
+            q = ((t * iquant[g, 0].astype(jnp.uint32))
+                 >> C.FP_BITS).astype(jnp.int32) >> C.AC_BITS
+            dcq = jnp.where(dc < 0, -q, q)
         codes = vlc.dc_diff_codes(dcq, n_images)
         dc_cols.append(codes.reshape(n_mcu, nb))
     dc_codes = jnp.concatenate(dc_cols, axis=1).reshape(-1)
@@ -687,6 +694,14 @@ def _stage_batch_histos_fused(src, yuv_mode: int, width: int, height: int,
                    + quantize.store_histo(coeffs[2], stats_images))
     else:
         histo_c = jnp.zeros_like(histo_l)
+    # bin counts are bounded by the contributing blocks per stats image
+    # (luma; U+V summed for chroma); fetching uint16 halves the
+    # (tunnel-dominant) histogram transfer
+    bound = max(coeffs[0].shape[0],
+                2 * coeffs[1].shape[0] if len(coeffs) > 1 else 0)
+    if bound // stats_images < (1 << 16):
+        return (histo_l.reshape(-1).astype(jnp.uint16),
+                histo_c.reshape(-1).astype(jnp.uint16))
     return histo_l.reshape(-1), histo_c.reshape(-1)
 
 
@@ -714,8 +729,55 @@ def _encode_batch_opt_core(src, iquant, ibias, dc_luts, ac_luts, *,
                            nb_blocks, n_images: int, bucket: int,
                            per_image_tables: bool, src_kind: str = "rgb"):
     """Fused final pass for the optimized batch: front end + per-image
-    quantize + VLC + pack + concat as one program."""
+    quantize + VLC + pack + concat as one program.  On TPU the samples
+    stream through the fused in-kernel-fDCT path (per-image quantizer
+    rows / Huffman LUTs selected by grid index maps); XLA fallback keeps
+    the staged coefficient route."""
     blocks = _batch_blocks(src, yuv_mode, width, height, src_kind)
+    if jax.default_backend() != "cpu":
+        from .ops import pallas_quant_pack, pallas_tree_concat
+        sinter, dc_codes, group = _interleave_samples(
+            blocks, iquant, ibias, nb_blocks, n_images)
+        per_image = per_image_tables or iquant.ndim == 3
+        if not per_image:
+            words, bit_lens = pallas_quant_pack.sample_vlc_pack_pallas(
+                sinter, dc_codes, group, iquant, ibias, dc_luts, ac_luts)
+        else:
+            # broadcast whichever side is still shared, then pad each
+            # image's rows to whole tiles for the per-image index maps
+            iq3 = (iquant if iquant.ndim == 3 else
+                   jnp.broadcast_to(iquant, (n_images,) + iquant.shape))
+            ib3 = (ibias if ibias.ndim == 3 else
+                   jnp.broadcast_to(ibias, (n_images,) + ibias.shape))
+            dcl3 = (dc_luts if dc_luts.ndim == 3 else
+                    jnp.broadcast_to(dc_luts, (n_images,) + dc_luts.shape))
+            acl3 = (ac_luts if ac_luts.ndim == 3 else
+                    jnp.broadcast_to(ac_luts, (n_images,) + ac_luts.shape))
+            tile = pallas_quant_pack.DEFAULT_TILE
+            N = group.shape[0]
+            per_img = N // n_images
+            padded = -(-per_img // tile) * tile
+            pad = padded - per_img
+
+            def padrows(x):
+                if not pad:
+                    return x
+                x2 = x.reshape((n_images, per_img) + x.shape[1:])
+                cfg = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x2, cfg).reshape((-1,) + x.shape[1:])
+
+            words, bit_lens = pallas_quant_pack.sample_vlc_pack_pallas(
+                padrows(sinter), padrows(dc_codes), padrows(group),
+                iq3, ib3, dcl3, acl3, tiles_per_img=padded // tile)
+            if pad:
+                # pad rows still emit DC+EOB codes; zero them so the
+                # concat's left-aligned-content invariant holds
+                valid = (jnp.arange(padded, dtype=jnp.int32) < per_img)
+                valid = jnp.tile(valid, n_images)
+                bit_lens = jnp.where(valid, bit_lens, 0)
+                words = jnp.where(valid[:, None], words, 0)
+        return pallas_tree_concat.concat_block_streams_tree(
+            words, bit_lens, n_images=n_images, bucket=bucket)
     coeffs = [fdct.fdct_blocks(x) for x in blocks]
     vlc_state = _interleave_quantized(coeffs, iquant, ibias, nb_blocks,
                                       n_images)
@@ -805,7 +867,12 @@ def _encode_batch_optimized(src, param: EncoderParam,
         # reshape: a size-1 sub-batch comes back unbatched
         hl = np.asarray(histos[0]).reshape(b, 64, -1)
         hc = np.asarray(histos[1]).reshape(b, 64, -1)
-        per_qms = [tune([hl[i], hc[i]]) for i in range(b)]
+        # pure-NumPy per-image analysis releases the GIL: thread it
+        # (~8 ms/image serial dominates the batched m4 host time)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            per_qms = list(pool.map(lambda i: tune([hl[i], hc[i]]),
+                                    range(b)))
         iq = jnp.asarray(np.stack(
             [[q["iquant"] for q in qms] for qms in per_qms]
         ).astype(np.int32))
@@ -856,12 +923,16 @@ def _encode_batch_optimized(src, param: EncoderParam,
         else:
             fdc = np.asarray(freqs[0]).astype(np.int64).reshape(b, 2, 12)
             fac = np.asarray(freqs[1]).astype(np.int64).reshape(b, 2, 256)
-            per_tables = []
-            for i in range(b):
+
+            def build(i):
                 t = optimal_tables_from_freqs(fdc[i], fac[i], n_groups)
                 if n_groups == 1:
                     t[1], t[3] = defaults[1], defaults[3]
-                per_tables.append(t)
+                return t
+
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+                per_tables = list(pool.map(build, range(b)))
             dc_np = np.zeros((b, 2, 16), np.uint32)
             ac_np = np.zeros((b, 2, 256), np.uint32)
             for i, t in enumerate(per_tables):

@@ -134,15 +134,39 @@ def _sample_pack_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
     total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+def _sample_pack_kernel_sets(x_ref, meta_ref, iquant_ref, ibias_ref,
+                             zz_ref, fa_ref, fpc_ref, fb_ref, fpo_ref,
+                             fkv_ref, dc_lut_ref, ac_lut_ref, words_ref,
+                             total_ref):
+    """Per-image variant: quantizer rows and Huffman LUTs carry a leading
+    singleton dim selected per image by the BlockSpec index maps."""
+    from .pallas_vlc_pack import _DropLead
+
+    coef = pallas_fdct.fdct_body(x_ref[:].astype(jnp.int32), fa_ref,
+                                 fpc_ref, fb_ref, fpo_ref, fkv_ref)
+    dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
+    words, total = _quant_pack_body(
+        coef, dc, group, _DropLead(iquant_ref), _DropLead(ibias_ref),
+        zz_ref, _DropLead(dc_lut_ref), _DropLead(ac_lut_ref))
+    words_ref[:] = words
+    total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "tiles_per_img"))
 def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
-                           dc_luts, ac_luts, tile: int = DEFAULT_TILE):
+                           dc_luts, ac_luts, tile: int = DEFAULT_TILE,
+                           tiles_per_img: int = 0):
     """Fused fDCT + quantize + zigzag + run/level + VLC + pack.
 
     samples: [N, 64] int8 (or int32) raster-order centered samples,
     MCU-interleaved; other arguments as in quant_vlc_pack_pallas
     (dc_codes come from the cheap XLA DC chain over pallas_fdct.fdct_dc).
     Samples ship as int8 — a quarter of the input DMA.
+
+    Per-image mode: pass iquant2/ibias2 [B, 2, 64], dc_luts [B, 2, 16] /
+    ac_luts [B, 2, 256] and `tiles_per_img` (rows image-major, per-image
+    block counts padded to tile * tiles_per_img); each grid step's index
+    maps select its image's quantizer rows and LUT slices.
     """
     N = samples.shape[0]
     rem = (-N) % tile
@@ -164,12 +188,25 @@ def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
                              memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
-    lut_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                          memory_space=pltpu.SMEM)
+    if tiles_per_img:
+        assert iquant2.ndim == 3 and dc_luts.ndim == 3 and \
+            NP // tile == dc_luts.shape[0] * tiles_per_img
+        t = tiles_per_img
+        per_img = lambda shape, space: pl.BlockSpec(
+            (1,) + shape, lambda i, t=t: (i // t, 0, 0),
+            memory_space=space)
+        q_spec = lambda: per_img((2, 64), pltpu.VMEM)
+        lut_spec = lambda shape: per_img(shape, pltpu.SMEM)
+        kernel = _sample_pack_kernel_sets
+    else:
+        q_spec = lambda: const((2, 64))
+        lut_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                              memory_space=pltpu.SMEM)
+        kernel = _sample_pack_kernel
     words, totals = pl.pallas_call(
-        _sample_pack_kernel,
+        kernel,
         grid=(NP // tile,),
-        in_specs=[spec64, spec_meta, const((2, 64)), const((2, 64)),
+        in_specs=[spec64, spec_meta, q_spec(), q_spec(),
                   const((64, 64)), const((64, 64)), const((64, 64)),
                   const((64, 64)), const((64, 64)), const((8, 64)),
                   lut_spec((2, 16)), lut_spec((2, 256))],

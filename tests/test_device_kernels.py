@@ -641,3 +641,68 @@ def test_pallas_sample_pack_matches_interpret(rng):
         pl.pallas_call = orig
     np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
     np.testing.assert_array_equal(np.asarray(got_w), np.asarray(want_w))
+
+
+def test_pallas_sample_pack_per_image_interpret(rng):
+    """Per-image samples kernel (fDCT + per-image quantizers + per-image
+    LUTs, interpret mode) == running the shared kernel image-by-image."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.engine import (_device_luts, _interleave_samples,
+                                  _quant_device_arrays)
+    from sjpeg_tpu.huffman import k3_default_tables, HuffmanTable
+    from sjpeg_tpu.ops import pallas_quant_pack as pqp
+    from sjpeg_tpu.params import quant_matrices_for_quality
+
+    n_mcu, nb, B = 4, (4, 1, 1), 2
+    per_img_mcu = n_mcu // B
+    qms_a = [spec.finalize_quant_matrix(
+        quant_matrices_for_quality(70.0)[i], np.ones(64, np.uint8),
+        C.DEFAULT_BIAS) for i in range(2)]
+    qms_b = [spec.finalize_quant_matrix(
+        quant_matrices_for_quality(88.0)[i], np.ones(64, np.uint8),
+        C.DEFAULT_BIAS) for i in range(2)]
+    iqa, iba = _quant_device_arrays(qms_a)
+    iqb, ibb = _quant_device_arrays(qms_b)
+    defaults = k3_default_tables()
+    # second image: a shuffled-codes variant of the default tables
+    alt = [HuffmanTable(t.bits, t.syms[::-1]) if t else None
+           for t in defaults]
+    dcl_a, acl_a = _device_luts(defaults)
+    dcl_b, acl_b = _device_luts(alt)
+
+    blocks = [jnp.asarray(rng.randint(-128, 128, (n_mcu * n, 64))
+                          .astype(np.int32)) for n in nb]
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    iq3 = jnp.stack([iqa, iqb])
+    ib3 = jnp.stack([iba, ibb])
+    dcl3 = jnp.stack([dcl_a, dcl_b])
+    acl3 = jnp.stack([acl_a, acl_b])
+    pl.pallas_call = patched
+    try:
+        sinter, dc2, group2 = _interleave_samples(blocks, iq3, ib3, nb,
+                                                  n_images=B)
+        got_w, got_t = pqp.sample_vlc_pack_pallas.__wrapped__(
+            sinter, dc2, group2, iq3, ib3, dcl3, acl3, tile=12,
+            tiles_per_img=1)
+        # reference: each image through the shared-table kernel alone
+        per = sinter.shape[0] // B
+        for i, (iq, ib, dcl, acl) in enumerate(
+                [(iqa, iba, dcl_a, acl_a), (iqb, ibb, dcl_b, acl_b)]):
+            img_blocks = [b.reshape(B, -1, 64)[i] for b in blocks]
+            s1, d1, g1 = _interleave_samples(img_blocks, iq, ib, nb)
+            np.testing.assert_array_equal(
+                np.asarray(d1), np.asarray(dc2[i * per:(i + 1) * per]))
+            w1, t1 = pqp.sample_vlc_pack_pallas.__wrapped__(
+                s1, d1, g1, iq, ib, dcl, acl, tile=12)
+            np.testing.assert_array_equal(
+                np.asarray(got_t[i * per:(i + 1) * per]), np.asarray(t1))
+            np.testing.assert_array_equal(
+                np.asarray(got_w[i * per:(i + 1) * per]), np.asarray(w1))
+    finally:
+        pl.pallas_call = orig
