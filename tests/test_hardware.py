@@ -49,3 +49,23 @@ def test_batched_matches_per_image_on_hardware(method):
     outs = encode_batch(imgs, p)
     for i in range(len(imgs)):
         assert outs[i] == encode_rgb(imgs[i], p), i
+
+
+def test_extreme_content_on_hardware():
+    """Sparse blocks (long zero runs, escapes, early EOB) and saturated
+    blocks (max-size levels) stress the grouped Huffman lookups, the
+    escape cond-path and the word loop's dynamic bounds."""
+    cases = []
+    sparse = np.zeros((80, 96, 3), np.uint8)
+    sparse[::17, ::23] = 255
+    cases.append(sparse)
+    checker = (np.indices((80, 96)).sum(0) % 2 * 255).astype(np.uint8)
+    cases.append(np.stack([checker, 255 - checker, checker], -1))
+    flat = np.full((80, 96, 3), 128, np.uint8)
+    cases.append(flat)
+    for q in (10, 75, 98):
+        p = EncoderParam(quality=q, yuv_mode=C.YUV_420,
+                         huffman_compress=False,
+                         adaptive_quantization=False)
+        for i, img in enumerate(cases):
+            assert encode_rgb(img, p) == host_encode_rgb(img, p), (q, i)
