@@ -107,6 +107,32 @@ def encode_shard(rgb_stripe, iquant, ibias, dc_luts, ac_luts, *,
     freq_dc = jax.lax.psum(freq_dc, axis_name)
     freq_ac = jax.lax.psum(freq_ac, axis_name)
 
+    if jax.default_backend() != "cpu":
+        # per-shard bitstream through the flagship Pallas kernels
+        # (vlc+pack, parallel tree merge) — shard_map bodies run them
+        # per device just like the unsharded engine
+        from ..ops import pallas_tree_concat, pallas_vlc_pack
+        n_mcu = rls[0]["run"].shape[0] // nb_blocks[0]
+
+        def inter(field):
+            return jnp.concatenate(
+                [rl[field].reshape(n_mcu, nb, 64)
+                 for rl, nb in zip(rls, nb_blocks)], axis=1).reshape(-1, 64)
+
+        dc_i = jnp.concatenate(
+            [dc.reshape(n_mcu, nb) for dc, nb in zip(dcs, nb_blocks)],
+            axis=1).reshape(-1)
+        slot_group = np.zeros(sum(nb_blocks), dtype=np.int32)
+        slot_group[nb_blocks[0]:] = 1 if len(nb_blocks) > 1 else 0
+        group = jnp.tile(jnp.asarray(slot_group), n_mcu)
+        words, bit_lens = pallas_vlc_pack.vlc_pack_pallas(
+            inter("run"), inter("size"), inter("code"), dc_i, group,
+            dc_luts, ac_luts)
+        out, totals = pallas_tree_concat.concat_block_streams_tree(
+            words, bit_lens, n_images=1,
+            bucket=words.shape[0] * pack.WORDS_PER_BLOCK, sliced=False)
+        return out[0], totals[0], histo_l, histo_c, freq_dc, freq_ac
+
     comp_vals, comp_lens = [], []
     for c, (rl, dc) in enumerate(zip(rls, dcs)):
         g = 0 if c == 0 else 1

@@ -69,3 +69,40 @@ def test_extreme_content_on_hardware():
                          adaptive_quantization=False)
         for i, img in enumerate(cases):
             assert encode_rgb(img, p) == host_encode_rgb(img, p), (q, i)
+
+
+def test_sharded_pallas_branch_1x1_mesh():
+    """On real hardware the shard_map body routes the bitstream through
+    the Pallas vlc+pack / tree-concat kernels; a 1x1 mesh must reproduce
+    the unsharded fused engine's stream bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from sjpeg_tpu import spec
+    from sjpeg_tpu.engine import (_default_luts_cached,
+                                  _quant_device_arrays, encode_core)
+    from sjpeg_tpu.parallel import shard as pshard
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
+    H, W = 64, 96
+    img = make_test_image(W, H, seed=5)
+    param = EncoderParam(quality=75)
+    qmats = param.resolved_quant_matrices()
+    minq = param.resolved_min_quant_matrices()
+    qms = [spec.finalize_quant_matrix(qmats[i], minq[i],
+                                      param.quantization_bias)
+           for i in range(2)]
+    iq, ib = _quant_device_arrays(qms)
+    dcl, acl = _default_luts_cached()
+
+    enc = pshard.make_sharded_encode(mesh, C.YUV_420, H, W, (4, 1, 1))
+    out = enc(jnp.asarray(img[None]), iq, ib, dcl, acl)
+    total = int(np.asarray(out[1]).reshape(-1)[0])
+    stream = np.asarray(out[0]).reshape(-1)
+
+    w2, t2 = encode_core(jnp.asarray(img), iq, ib, dcl, acl,
+                         yuv_mode=C.YUV_420, width=W, height=H,
+                         nb_blocks=(4, 1, 1))
+    assert int(t2) == total
+    nw = (total + 31) // 32
+    np.testing.assert_array_equal(stream[:nw], np.asarray(w2)[:nw])
