@@ -37,10 +37,18 @@ _COL_SLOT_ROW = [0, 4, 2, 6, 1, 3, 5, 7]
 _ROW_SLOT_COL = [0, 4, 2, 6, 1, 3, 5, 7]
 
 
-@functools.lru_cache(maxsize=1)
-def fdct_matrices():
-    """Constant operands: (A, PC, B, PO) float32 [64, 64] and KV int32
-    [8, 64] per-lane multiplier vectors."""
+@functools.lru_cache(maxsize=2)
+def fdct_matrices(zigzag_out: bool = False):
+    """Constant operands: (A, PCB, PO, KV) — float32 [64, 64] matrices and
+    KV int32 [8, 64] per-lane multiplier vectors.
+
+    PCB = PC @ B folds the column-slot -> raster permutation into the row
+    -pass combo matrix (one matmul instead of two); PO maps row slots to
+    raster output, or — with `zigzag_out` — straight to zigzag order
+    (PO @ ZZ), letting the fused encode kernel quantize in zigzag domain
+    and skip a separate permutation matmul.  All entries are small
+    integers (|v| <= 32), exactly representable in bfloat16, which is
+    what makes the 2-pass hi/lo matmul scheme in `_imatmul` exact."""
     # ---- A: raster -> column-pass linear combos (slot layout 8c + k) ----
     # per-column combos over x_r; rows of `cf` are coefficient vectors
     e = np.eye(8, dtype=np.int64)
@@ -117,39 +125,64 @@ def fdct_matrices():
         KV[7, 8 * r + 4:8 * r + 8] = [C7[r], -C5[r], C3[r], -C1[r]]
     # int32 wraparound semantics are the reference's own
     KV = ((KV + (1 << 31)) % (1 << 32) - (1 << 31)).astype(np.int32)
-    return A, PC, B, PO, KV
+
+    PCB = (PC.astype(np.int64) @ B.astype(np.int64)).astype(np.float32)
+    if zigzag_out:
+        ZZ = np.zeros((64, 64), dtype=np.float32)
+        for j, src in enumerate(C.ZIGZAG):
+            ZZ[src, j] = 1.0
+        PO = (PO.astype(np.int64) @ ZZ.astype(np.int64)).astype(np.float32)
+    return A, PCB, PO, KV
 
 
 def _sext16(x):
     return ((x & 0xFFFF) ^ 0x8000) - 0x8000
 
 
-def _imatmul(x, m_ref):
-    """Exact int32 matmul via f32 MXU (|values| < 2^24 throughout).
+def _dot(x, m):
+    """One default-precision MXU pass.  The TPU MXU truncates f32 inputs
+    to bf16; callers guarantee every operand is an integer in [-256, 256]
+    (bf16-exact), so products are exact and the f32 accumulation is exact
+    below 2^24."""
+    return jnp.dot(x, m, preferred_element_type=jnp.float32)
 
-    precision=HIGHEST is required: the TPU default truncates f32 matmul
-    inputs to bf16 (8-bit mantissa), which corrupts anything above 2^8;
-    HIGHEST (6-pass) reproduces exact f32, which is exact for these
-    integer ranges."""
-    return jnp.dot(x.astype(jnp.float32), m_ref[:],
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+
+def _imatmul(x, m_ref, input_bits: int = 16):
+    """Exact int32 matmul using 1-2 default-precision MXU passes.
+
+    The constant matrices all have small-integer entries (bf16-exact).
+    `input_bits <= 8`: x itself is bf16-exact -> a single pass.  Wider x
+    splits into hi/lo 8-bit halves (lo in [0, 255], hi = x >> 8 in
+    [-2^(b-9), 2^(b-9))) -> two passes recombined in int32.  This replaces
+    precision=HIGHEST (6 passes per matmul), which was the kernel's
+    dominant fixed cost: exactness is identical because every bf16
+    product and every partial sum stays integral below 2^24."""
+    if input_bits <= 8:
+        return _dot(x.astype(jnp.float32), m_ref[:]).astype(jnp.int32)
+    lo = x & 0xFF
+    hi = x >> 8                      # arithmetic: x == (hi << 8) + lo
+    m = m_ref[:]
+    out_hi = _dot(hi.astype(jnp.float32), m).astype(jnp.int32)
+    out_lo = _dot(lo.astype(jnp.float32), m).astype(jnp.int32)
+    return (out_hi << 8) + out_lo
 
 
 def _roll(x, s):
     return pltpu.roll(x, shift=s % 64, axis=1)
 
 
-def fdct_body(x, a_ref, pc_ref, b_ref, po_ref, kv_ref, roll=_roll):
-    """[T, 64] int32 raster samples -> [T, 64] int32 coeffs (x16 scale).
+def fdct_body(x, a_ref, pcb_ref, po_ref, kv_ref, roll=_roll):
+    """[T, 64] int32 raster samples (8-bit range, i.e. [-128, 127]) ->
+    [T, 64] int32 coeffs (x16 scale) in raster order — or zigzag order
+    when `po_ref` holds the fdct_matrices(zigzag_out=True) variant.
 
     `roll(x, s)` must satisfy roll(x, s)[:, l] == x[:, l - s (mod 64)];
     tests pass jnp.roll, kernels the pltpu lane roll.
     """
     T = x.shape[0]
 
-    # ---- column pass ----
-    w = _imatmul(x, a_ref)                     # col-slot combos
+    # ---- column pass (samples are 8-bit: single-pass matmul) ----
+    w = _imatmul(x, a_ref, input_bits=8)       # col-slot combos
     kvp = kv_ref[0:1, :]
     p = (w * kvp) >> 16                        # Q15 mults at L1/L2/L7/L8
     d = w - roll(p, _K_L5 - _K_L7)             # [k4]=m3', [k5]=m0'
@@ -172,10 +205,9 @@ def fdct_body(x, a_ref, pc_ref, b_ref, po_ref, kv_ref, roll=_roll):
                                                    jnp.where(slot == _K_L6,
                                                              a4c, a5c)))))
     cols = jnp.where(slot == _K_L8, a6c, cols)
-    raster = _imatmul(_sext16(cols), pc_ref)   # int16 store + relayout
 
-    # ---- row pass ----
-    v = _imatmul(raster, b_ref)                # row-slot combos
+    # ---- row pass (PC @ B folded: int16 store + relayout + combos) ----
+    v = _imatmul(_sext16(cols), pcb_ref)       # row-slot combos
     u0 = (v * kv_ref[1:2, :]) >> 16        # o0 @ j0, o4 @ j1
     w2 = v * kv_ref[2:3, :]
     w3 = v * kv_ref[3:4, :]
@@ -202,8 +234,8 @@ def fdct_body(x, a_ref, pc_ref, b_ref, po_ref, kv_ref, roll=_roll):
     return _imatmul(_sext16(out), po_ref)
 
 
-def _fdct_kernel(x_ref, a_ref, pc_ref, b_ref, po_ref, kv_ref, out_ref):
-    out_ref[:] = fdct_body(x_ref[:], a_ref, pc_ref, b_ref, po_ref, kv_ref)
+def _fdct_kernel(x_ref, a_ref, pcb_ref, po_ref, kv_ref, out_ref):
+    out_ref[:] = fdct_body(x_ref[:], a_ref, pcb_ref, po_ref, kv_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -214,7 +246,7 @@ def fdct_blocks_pallas(blocks, tile: int = 512):
     if rem:
         blocks = jnp.pad(blocks, ((0, rem), (0, 0)))
     NP = N + rem
-    A, PC, B, PO, KV = fdct_matrices()
+    A, PCB, PO, KV = fdct_matrices()
     spec64 = pl.BlockSpec((tile, 64), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     cspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -223,11 +255,11 @@ def fdct_blocks_pallas(blocks, tile: int = 512):
         _fdct_kernel,
         grid=(NP // tile,),
         in_specs=[spec64, cspec((64, 64)), cspec((64, 64)),
-                  cspec((64, 64)), cspec((64, 64)), cspec((8, 64))],
+                  cspec((64, 64)), cspec((8, 64))],
         out_specs=spec64,
         out_shape=jax.ShapeDtypeStruct((NP, 64), jnp.int32),
-    )(blocks.astype(jnp.int32), jnp.asarray(A), jnp.asarray(PC),
-      jnp.asarray(B), jnp.asarray(PO), jnp.asarray(KV))
+    )(blocks.astype(jnp.int32), jnp.asarray(A), jnp.asarray(PCB),
+      jnp.asarray(PO), jnp.asarray(KV))
     return out[:N]
 
 

@@ -45,6 +45,17 @@ def _zigzag_matrix():
     return p
 
 
+_ZZ = tuple(int(v) for v in C.ZIGZAG)
+
+
+def _to_zigzag_lanes(vec):
+    """Permute the last axis of a [..., 64] quantizer vector into zigzag
+    order (host-side / XLA glue, once per program — the fused kernel
+    receives zigzag-domain coefficients straight from the folded
+    PO @ ZZ fDCT output and quantizes in that domain)."""
+    return vec[..., jnp.asarray(_ZZ)]
+
+
 def _calc_log2(v):
     """Bit length of v for v >= 1 (int32), elementwise (enc.cc:468-480)."""
     out = jnp.zeros_like(v)
@@ -68,29 +79,32 @@ def _cummax_lanes(x):
     return x
 
 
+def _quantize(coef, grp0, iquant_ref, ibias_ref):
+    """Exact uint32 16-bit reciprocal quantizer; domain-agnostic — the
+    quantizer rows must share the coefficient lane order."""
+    iq = jnp.where(grp0, iquant_ref[0:1, :], iquant_ref[1:2, :])
+    ib = jnp.where(grp0, ibias_ref[0:1, :], ibias_ref[1:2, :])
+    t = (jnp.abs(coef) + ib).astype(jnp.uint32)
+    q = ((t * iq.astype(jnp.uint32)) >> C.FP_BITS).astype(
+        jnp.int32) >> C.AC_BITS
+    return jnp.where(coef < 0, -q, q)
+
+
 def _quant_pack_body(coef, dc_code, group, iquant_ref, ibias_ref,
                      zz_ref, dc_lut_ref, ac_lut_ref):
     """coef [T, 64] raster int32 -> (words [T, 64] uint32, total [T, 1])."""
-    T = coef.shape[0]
     grp0 = group == 0                                    # [T, 1]
+    q = _quantize(coef, grp0, iquant_ref, ibias_ref)
 
-    # --- quantize (exact uint32 16-bit reciprocal path) ---
-    iq = jnp.where(grp0, iquant_ref[0:1, :], iquant_ref[1:2, :])
-    ib = jnp.where(grp0, ibias_ref[0:1, :], ibias_ref[1:2, :])
-    mag = jnp.abs(coef)
-    t = (mag + ib).astype(jnp.uint32)
-    q = ((t * iq.astype(jnp.uint32)) >> C.FP_BITS).astype(
-        jnp.int32) >> C.AC_BITS
-    q = jnp.where(coef < 0, -q, q)
+    # --- zigzag permutation on the MXU (2-pass hi/lo exact matmul) ---
+    zz = pallas_fdct._imatmul(q, zz_ref, input_bits=16)
 
-    # --- zigzag permutation on the MXU (values <= 2047: f32-exact;
-    # precision=HIGHEST because the TPU default truncates inputs to
-    # bf16, whose 8-bit mantissa cannot carry 11-bit levels) ---
-    zz = jnp.dot(q.astype(jnp.float32), zz_ref[:],
-                 preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    return _rl_fields(zz, dc_code, group, dc_lut_ref, ac_lut_ref)
 
-    # --- run/level fields ---
+
+def _rl_fields(zz, dc_code, group, dc_lut_ref, ac_lut_ref):
+    """Zigzag-domain quantized levels -> packed words + totals."""
+    T = zz.shape[0]
     lane64 = jax.lax.broadcasted_iota(jnp.int32, (T, 64), 1)
     nz = (zz != 0) & (lane64 > 0)
     m = jnp.abs(zz)
@@ -118,36 +132,40 @@ def _quant_pack_kernel(coef_ref, meta_ref, iquant_ref, ibias_ref,
 
 
 def _sample_pack_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
-                        zz_ref, fa_ref, fpc_ref, fb_ref, fpo_ref, fkv_ref,
+                        fa_ref, fpcb_ref, fpozz_ref, fkv_ref,
                         dc_lut_ref, ac_lut_ref, words_ref, total_ref):
     """Samples-in variant: runs the in-kernel fDCT (pallas_fdct.fdct_body,
     MXU matmuls + int32 fixups) before the shared quantize/VLC/pack body,
     so raw centered samples go in and packed bit streams come out — the
-    [N, 64] coefficient plane never exists in HBM."""
-    coef = pallas_fdct.fdct_body(x_ref[:].astype(jnp.int32), fa_ref,
-                                 fpc_ref, fb_ref, fpo_ref, fkv_ref)
+    [N, 64] coefficient plane never exists in HBM.  The fDCT's output
+    permutation is folded with the zigzag (fpozz), so coefficients arrive
+    zigzag-ordered and quantize against zigzag-permuted quantizer rows —
+    no separate permutation matmul."""
+    zz = pallas_fdct.fdct_body(x_ref[:].astype(jnp.int32), fa_ref,
+                               fpcb_ref, fpozz_ref, fkv_ref)
     dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
-    words, total = _quant_pack_body(
-        coef, dc, group, iquant_ref, ibias_ref,
-        zz_ref, dc_lut_ref, ac_lut_ref)
+    grp0 = group == 0
+    q = _quantize(zz, grp0, iquant_ref, ibias_ref)
+    words, total = _rl_fields(q, dc, group, dc_lut_ref, ac_lut_ref)
     words_ref[:] = words
     total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
 
 
 def _sample_pack_kernel_sets(x_ref, meta_ref, iquant_ref, ibias_ref,
-                             zz_ref, fa_ref, fpc_ref, fb_ref, fpo_ref,
-                             fkv_ref, dc_lut_ref, ac_lut_ref, words_ref,
+                             fa_ref, fpcb_ref, fpozz_ref, fkv_ref,
+                             dc_lut_ref, ac_lut_ref, words_ref,
                              total_ref):
     """Per-image variant: quantizer rows and Huffman LUTs carry a leading
     singleton dim selected per image by the BlockSpec index maps."""
     from .pallas_vlc_pack import _DropLead
 
-    coef = pallas_fdct.fdct_body(x_ref[:].astype(jnp.int32), fa_ref,
-                                 fpc_ref, fb_ref, fpo_ref, fkv_ref)
+    zz = pallas_fdct.fdct_body(x_ref[:].astype(jnp.int32), fa_ref,
+                               fpcb_ref, fpozz_ref, fkv_ref)
     dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
-    words, total = _quant_pack_body(
-        coef, dc, group, _DropLead(iquant_ref), _DropLead(ibias_ref),
-        zz_ref, _DropLead(dc_lut_ref), _DropLead(ac_lut_ref))
+    grp0 = group == 0
+    q = _quantize(zz, grp0, _DropLead(iquant_ref), _DropLead(ibias_ref))
+    words, total = _rl_fields(q, dc, group, _DropLead(dc_lut_ref),
+                              _DropLead(ac_lut_ref))
     words_ref[:] = words
     total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
 
@@ -175,7 +193,10 @@ def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
         dc_codes = jnp.pad(dc_codes, (0, rem))
         group = jnp.pad(group, (0, rem))
     NP = N + rem
-    A, PC, B, PO, KV = pallas_fdct.fdct_matrices()
+    A, PCB, POZZ, KV = pallas_fdct.fdct_matrices(zigzag_out=True)
+    # the kernel quantizes in zigzag domain (folded PO @ ZZ output)
+    iquant2 = _to_zigzag_lanes(iquant2)
+    ibias2 = _to_zigzag_lanes(ibias2)
     # Mosaic block rule: sublane dim divisible by 8 -> 64-lane meta rows
     # give an (8, 64) block at the production tile; tiny test tiles fall
     # back to one row per block (interpret mode does not enforce tiling)
@@ -208,7 +229,7 @@ def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
         grid=(NP // tile,),
         in_specs=[spec64, spec_meta, q_spec(), q_spec(),
                   const((64, 64)), const((64, 64)), const((64, 64)),
-                  const((64, 64)), const((64, 64)), const((8, 64)),
+                  const((8, 64)),
                   lut_spec((2, 16)), lut_spec((2, 256))],
         out_specs=(
             pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
@@ -221,8 +242,7 @@ def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
         ),
     )(samples.astype(jnp.int8), meta,
       iquant2.astype(jnp.int32), ibias2.astype(jnp.int32),
-      jnp.asarray(_zigzag_matrix()),
-      jnp.asarray(A), jnp.asarray(PC), jnp.asarray(B), jnp.asarray(PO),
+      jnp.asarray(A), jnp.asarray(PCB), jnp.asarray(POZZ),
       jnp.asarray(KV),
       dc_luts.astype(jnp.uint32), ac_luts.astype(jnp.uint32))
     return words[:N], totals.reshape(-1)[:N]
