@@ -28,6 +28,30 @@ def encode_batch(rgbs, param=None) -> list:
     return _eb(rgbs, param)
 
 
+def encode_batch_yuv(y, u, v, is_420, param=None, **kw) -> list:
+    """Encode a batch of planar-YUV images ([B, H, W] y + chroma)."""
+    from .engine import encode_batch_yuv as _eby
+    return _eby(y, u, v, is_420, param, **kw)
+
+
+def encode_batch_gray(y, param=None, **kw) -> list:
+    """Encode a batch of grayscale planes [B, H, W] as YUV 4:0:0."""
+    from .engine import encode_batch_gray as _ebg
+    return _ebg(y, param, **kw)
+
+
+def encode_batch_nv12(y, uv, param=None, **kw) -> list:
+    """Encode a batch of semi-planar NV12 frames (interleaved U/V)."""
+    from .engine import encode_batch_nv12 as _ebn
+    return _ebn(y, uv, param, **kw)
+
+
+def encode_batch_nv21(y, vu, param=None, **kw) -> list:
+    """Encode a batch of semi-planar NV21 frames (interleaved V/U)."""
+    from .engine import encode_batch_nv21 as _ebn
+    return _ebn(y, vu, param, **kw)
+
+
 def encode_batch_sharded(rgbs, param=None, mesh=None, **kw) -> list:
     """Encode a batch over a (dp, sp) device mesh (multi-chip path)."""
     from .parallel.api import encode_batch_sharded as _ebs
@@ -47,7 +71,8 @@ def encode(rgb, param=None, backend: str = "auto") -> bytes:
 
 __all__ = [
     "EncoderParam", "SearchHook", "encode", "encode_batch",
-    "encode_batch_sharded", "version",
+    "encode_batch_yuv", "encode_batch_gray", "encode_batch_nv12",
+    "encode_batch_nv21", "encode_batch_sharded", "version",
     "host_encode_rgb", "host_encode_gray", "host_encode_yuv",
     "dimensions", "estimate_quality", "find_quantizer", "quant_matrix",
     "YUV_AUTO", "YUV_420", "YUV_SHARP", "YUV_444", "YUV_400",

@@ -513,6 +513,67 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
         y, u, v = jax.vmap(core)(jnp.asarray(rgbs))
         src, src_kind = (y, u, v), "planes"
         yuv_mode = C.YUV_420
+    return _encode_batch_src(src, src_kind, yuv_mode, w, h, param,
+                             bits_per_pixel_budget, share_statistics)
+
+
+def encode_batch_yuv(y, u, v, is_420: bool,
+                     param: Optional["EncoderParam"] = None,
+                     bits_per_pixel_budget: float = 4.0,
+                     share_statistics: bool = False):
+    """Batched planar-YUV encode: y [B, H, W] uint8 plus chroma planes
+    ([B, ceil(H/2), ceil(W/2)] when `is_420`, else full-size) -> list of
+    JPEG byte strings.  Device analog of the reference's planar input
+    encoders (src/enc.cc:1974-2078) with the same batching contract as
+    `encode_batch`."""
+    param = param or EncoderParam()
+    b, h, w = y.shape[:3]
+    mode = C.YUV_420 if is_420 else C.YUV_444
+    src = (jnp.asarray(y), jnp.asarray(u), jnp.asarray(v))
+    return _encode_batch_src(src, "planes", mode, w, h, param,
+                             bits_per_pixel_budget, share_statistics)
+
+
+def encode_batch_gray(y, param: Optional["EncoderParam"] = None,
+                      bits_per_pixel_budget: float = 4.0,
+                      share_statistics: bool = False):
+    """Batched grayscale encode: y [B, H, W] uint8 -> JPEGs (YUV 4:0:0;
+    reference Encoder400G, src/enc.cc:1857-1876)."""
+    param = param or EncoderParam()
+    b, h, w = y.shape[:3]
+    return _encode_batch_src((jnp.asarray(y),), "planes", C.YUV_400, w, h,
+                             param, bits_per_pixel_budget,
+                             share_statistics)
+
+
+def encode_batch_nv12(y, uv, param: Optional["EncoderParam"] = None,
+                      bits_per_pixel_budget: float = 4.0,
+                      share_statistics: bool = False):
+    """Batched semi-planar NV12 encode: y [B, H, W], uv
+    [B, ceil(H/2), ceil(W/2), 2] interleaved U/V (reference EncoderNV12,
+    src/enc.cc:1881-1947).  The deinterleave is a device slice; chroma
+    never round-trips the host."""
+    uv = jnp.asarray(uv)
+    return encode_batch_yuv(y, uv[..., 0], uv[..., 1], True, param,
+                            bits_per_pixel_budget, share_statistics)
+
+
+def encode_batch_nv21(y, vu, param: Optional["EncoderParam"] = None,
+                      bits_per_pixel_budget: float = 4.0,
+                      share_statistics: bool = False):
+    """Batched semi-planar NV21 encode (V/U interleaved chroma)."""
+    vu = jnp.asarray(vu)
+    return encode_batch_yuv(y, vu[..., 1], vu[..., 0], True, param,
+                            bits_per_pixel_budget, share_statistics)
+
+
+def _encode_batch_src(src, src_kind: str, yuv_mode: int, w: int, h: int,
+                      param: "EncoderParam",
+                      bits_per_pixel_budget: float = 4.0,
+                      share_statistics: bool = False):
+    """Shared batched-encode driver over a device source (RGB batch or
+    component plane tuple)."""
+    b = src.shape[0] if src_kind == "rgb" else src[0].shape[0]
     flags = method_flags(param.method)
     if flags["use_adaptive_quant"] or flags["optimize_size"]:
         return _encode_batch_optimized(src, param, bits_per_pixel_budget,

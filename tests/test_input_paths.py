@@ -138,3 +138,80 @@ def test_gray_matches_reference(yuv_harness):
     ours = host_encode_gray(y, EncoderParam(quality=75,
                                             yuv_mode=C.YUV_400))
     assert ours == ref
+
+
+# ---- batched device input paths (one program per batch) ----
+
+def _batched(planes, n=3):
+    """Stack `n` seeded variants of each plane into a batch."""
+    rng = np.random.RandomState(9)
+    outs = []
+    for p in planes:
+        variants = [p]
+        for _ in range(n - 1):
+            q = p.astype(np.int32) + rng.randint(-9, 9, p.shape)
+            variants.append(np.clip(q, 0, 255).astype(np.uint8))
+        outs.append(np.stack(variants))
+    return outs
+
+
+@pytest.mark.parametrize("optimized", [False, True])
+def test_encode_batch_yuv_matches_host(optimized):
+    from sjpeg_tpu import encode_batch_yuv
+    w, h = 40, 24
+    y, u, v = _planes(w, h, 11)
+    yb, ub, vb = _batched([y, u, v])
+    param = EncoderParam(quality=77, yuv_mode=C.YUV_420,
+                         huffman_compress=optimized,
+                         adaptive_quantization=optimized)
+    got = encode_batch_yuv(yb, ub, vb, True, param)
+    for i in range(yb.shape[0]):
+        want = host_encode_yuv(yb[i], ub[i], vb[i], True, param)
+        assert got[i] == want, (optimized, i)
+
+
+def test_encode_batch_yuv444_matches_host():
+    from sjpeg_tpu import encode_batch_yuv
+    w, h = 32, 16
+    rng = np.random.RandomState(12)
+    y, u, v = (rng.randint(0, 256, (h, w), dtype=np.uint8)
+               for _ in range(3))
+    yb, ub, vb = _batched([y, u, v])
+    param = EncoderParam(quality=88, yuv_mode=C.YUV_444,
+                         huffman_compress=False,
+                         adaptive_quantization=False)
+    got = encode_batch_yuv(yb, ub, vb, False, param)
+    for i in range(yb.shape[0]):
+        want = host_encode_yuv(yb[i], ub[i], vb[i], False, param)
+        assert got[i] == want, i
+
+
+def test_encode_batch_gray_matches_host():
+    from sjpeg_tpu import encode_batch_gray
+    w, h = 40, 24
+    y = make_test_image(w, h)[:, :, 1].copy()
+    (yb,) = _batched([y])
+    param = EncoderParam(quality=75, yuv_mode=C.YUV_400,
+                         huffman_compress=False,
+                         adaptive_quantization=False)
+    got = encode_batch_gray(yb, param)
+    for i in range(yb.shape[0]):
+        assert got[i] == host_encode_gray(yb[i], param), i
+
+
+@pytest.mark.parametrize("kind", ["nv12", "nv21"])
+def test_encode_batch_nv_matches_host(kind):
+    from sjpeg_tpu import encode_batch_nv12, encode_batch_nv21
+    w, h = 40, 24
+    y, u, v = _planes(w, h, 13)
+    uv = np.stack([u, v] if kind == "nv12" else [v, u], axis=-1)
+    yb, uvb0, uvb1 = _batched([y, uv[..., 0], uv[..., 1]])
+    uvb = np.stack([uvb0, uvb1], axis=-1)
+    param = EncoderParam(quality=80, yuv_mode=C.YUV_420,
+                         huffman_compress=False,
+                         adaptive_quantization=False)
+    fn_b = encode_batch_nv12 if kind == "nv12" else encode_batch_nv21
+    fn_h = encode_nv12 if kind == "nv12" else encode_nv21
+    got = fn_b(yb, uvb, param)
+    for i in range(yb.shape[0]):
+        assert got[i] == fn_h(yb[i], uvb[i], param), i
