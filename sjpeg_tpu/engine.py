@@ -31,7 +31,8 @@ from .bitio import stuff_bytes
 from .huffman import (build_code_lut, k3_default_tables,
                       optimal_tables_from_freqs)
 from .ops import colorspace, fdct, pack, quantize, vlc
-from .params import EncoderParam, method_flags
+from .params import (TARGET_NONE, TARGET_SIZE, EncoderParam,
+                     method_flags)
 
 
 # ---------------------------------------------------------------------------
@@ -575,6 +576,24 @@ def _encode_batch_src(src, src_kind: str, yuv_mode: int, w: int, h: int,
     component plane tuple)."""
     b = src.shape[0] if src_kind == "rgb" else src[0].shape[0]
     flags = method_flags(param.method)
+    if param.passes > 1 and param.target_mode != TARGET_NONE:
+        if flags["use_trellis"] or param.search_hook is not None:
+            # stateful user hooks / multi-pass trellis: per-image routes
+            from . import host_encoder
+            out = []
+            for i in range(b):
+                if src_kind == "rgb":
+                    out.append(encode_rgb(np.asarray(src[i]), param))
+                elif len(src) == 1:
+                    out.append(encode_gray(np.asarray(src[0][i]), param))
+                else:
+                    out.append(encode_yuv(
+                        np.asarray(src[0][i]), np.asarray(src[1][i]),
+                        np.asarray(src[2][i]), yuv_mode == C.YUV_420,
+                        param))
+            return out
+        return _encode_batch_search(src, src_kind, yuv_mode, w, h, param,
+                                    bits_per_pixel_budget)
     if flags["use_adaptive_quant"] or flags["optimize_size"]:
         return _encode_batch_optimized(src, param, bits_per_pixel_budget,
                                        share_statistics=share_statistics,
@@ -1101,6 +1120,310 @@ def _stage_count_stuffing(words, total):
     return jnp.sum(((byte == 0xFF) & (idx < n_bytes)).astype(jnp.int32))
 
 
+@jax.jit
+def _stage_count_stuffing_batch(words, totals):
+    """Per-image 0xFF complete-byte counts: [B, W] words + [B] bits -> [B]."""
+    W = words.shape[1]
+    idx = jnp.arange(W * 4, dtype=jnp.int32)[None, :]
+    shifts = (24 - 8 * (idx & 3)).astype(jnp.uint32)
+    byte = (jnp.repeat(words, 4, axis=1) >> shifts) & 0xFF
+    n_bytes = (totals.astype(jnp.int32) // 8)[:, None]
+    return jnp.sum(((byte == 0xFF) & (idx < n_bytes)).astype(jnp.int32),
+                   axis=1)
+
+
+def _batch_qerr(coeffs, iquant3, ibias3, quant3, n_images: int):
+    """Per-image exact uint64 squared quantization error (PSNR search):
+    per-component [N, 64] coeffs (image-major rows) against [B, 2, 64]
+    per-image quantizer arrays -> ([B] hi, [B] lo) uint32."""
+    per_rows = []
+    for c, coef in enumerate(coeffs):
+        g = 0 if c == 0 else 1
+        cb = jnp.abs(coef.astype(jnp.int32)).reshape(n_images, -1, 64)
+        t = (cb + ibias3[:, None, g, :]).astype(jnp.uint32)
+        q = ((t * iquant3[:, None, g, :].astype(jnp.uint32))
+             >> C.FP_BITS).astype(jnp.int32) >> C.AC_BITS
+        deq = quant3[:, None, g, :] * q
+        v0 = cb >> C.AC_BITS
+        per_rows.append(jnp.sum((v0 - deq) * (v0 - deq), axis=2))
+    return quantize.sum_u64_rows(jnp.concatenate(per_rows, axis=1))
+
+
+@functools.partial(jax.jit, static_argnames=("n_images",))
+def _stage_batch_qerr(coeffs, iquant3, ibias3, quant3, n_images: int):
+    return _batch_qerr(coeffs, iquant3, ibias3, quant3, n_images)
+
+
+@functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
+                                             "n_images", "src_kind"))
+def _stage_batch_qerr_fused(src, iquant3, ibias3, quant3, yuv_mode: int,
+                            width: int, height: int, n_images: int,
+                            src_kind: str = "rgb"):
+    """Relay variant: front end + per-image quantize-error in ONE program
+    (only two [B] uint32 vectors leave the device)."""
+    blocks = _batch_blocks(src, yuv_mode, width, height, src_kind)
+    coeffs = [fdct.fdct_blocks(x) for x in blocks]
+    return _batch_qerr(coeffs, iquant3, ibias3, quant3, n_images)
+
+
+def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
+                         param: EncoderParam,
+                         bits_per_pixel_budget: float = 4.0):
+    """B independent target-size / target-PSNR dichotomies sharing one
+    batched device program per pass (reference LoopScan semantics,
+    src/dichotomy.cc:106-192, run per image).  Byte-identical to running
+    the single-image search on each image.
+
+    Per pass: per-image matrices from each image's bisection hook (plus
+    per-image AnalyseHisto when adaptive), then one batched program
+    evaluates every image's size (per-image freqs -> per-image optimal
+    tables -> per-image-LUT pack + stuffing count) or PSNR (per-image
+    uint64 quantize-error).  Hook updates and table builds stay on host.
+    """
+    from .dichotomy import get_psnr, header_size_bits
+    from .params import SearchHook
+    from .tools import estimate_quality
+
+    flags = method_flags(param.method)
+    b = src.shape[0] if src_kind == "rgb" else src[0].shape[0]
+    layout = pipeline.component_layout(yuv_mode, w, h)
+    min_qmats = param.resolved_min_quant_matrices()
+    defaults = k3_default_tables()
+    n_groups = 2 if layout.nb_comps > 1 else 1
+    nb_blocks = tuple(layout.nb_blocks)
+    n_blocks_img = layout.mb_w * layout.mb_h * sum(nb_blocks)
+    for_size = param.target_mode == TARGET_SIZE
+
+    initial_q = min(max(estimate_quality(
+        param.resolved_quant_matrices()[0]), 0.0), 100.0)
+    hooks = []
+    for _ in range(b):
+        hk = SearchHook()
+        hk.setup(param, initial_q)
+        hooks.append(hk)
+
+    relay_fused = _relay_backend()
+    if relay_fused:
+        coeffs = None
+        histos = (_stage_batch_histos_fused(
+            src, yuv_mode=yuv_mode, width=w, height=h, stats_images=b,
+            src_kind=src_kind) if flags["use_adaptive_quant"] else None)
+    else:
+        coeffs, histos = _stage_batch_coeffs(
+            src, yuv_mode=yuv_mode, width=w, height=h,
+            with_histo=flags["use_adaptive_quant"], n_images=b,
+            src_kind=src_kind)
+    if histos is not None:
+        hl = np.asarray(histos[0]).astype(np.int64).reshape(b, 64, -1)
+        hc = np.asarray(histos[1]).astype(np.int64).reshape(b, 64, -1)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def make_qms(i):
+        qmats = np.stack([hooks[i].next_matrices()[c] for c in range(2)])
+        qms = [spec.finalize_quant_matrix(qmats[g], min_qmats[g],
+                                          param.quantization_bias)
+               for g in range(2)]
+        if flags["use_adaptive_quant"]:
+            for g in range(n_groups - 1, -1, -1):
+                qdelta_max = (param.qdelta_max_luma if g == 0
+                              else param.qdelta_max_chroma)
+                tuned = analyse_histo(hl[i] if g == 0 else hc[i],
+                                      qms[g]["quant"], min_qmats[g],
+                                      qdelta_max)
+                qms[g] = spec.finalize_quant_matrix(
+                    tuned, min_qmats[g], param.quantization_bias)
+        return qms
+
+    def stack_quant_arrays(per_qms):
+        iq3 = jnp.asarray(np.stack(
+            [[q["iquant"] for q in qms] for qms in per_qms]
+        ).astype(np.int32))
+        ib3 = jnp.asarray(np.stack(
+            [[q["bias"] for q in qms] for qms in per_qms]
+        ).astype(np.int32))
+        return iq3, ib3
+
+    def build_tables(freqs):
+        """Per-image optimal Huffman tables + [B, ...] device LUTs."""
+        if not flags["optimize_size"]:
+            tabs = [defaults] * b
+            dcl, acl = _device_luts(defaults)
+            return tabs, dcl, acl, False
+        fdc = np.asarray(freqs[0]).astype(np.int64).reshape(b, 2, 12)
+        fac = np.asarray(freqs[1]).astype(np.int64).reshape(b, 2, 256)
+
+        def build(i):
+            t = optimal_tables_from_freqs(fdc[i], fac[i], n_groups)
+            if n_groups == 1:
+                t[1], t[3] = defaults[1], defaults[3]
+            return t
+
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            tabs = list(pool.map(build, range(b)))
+        dc_np = np.zeros((b, 2, 16), np.uint32)
+        ac_np = np.zeros((b, 2, 256), np.uint32)
+        for i, t in enumerate(tabs):
+            dc_np[i], ac_np[i] = _host_luts(t)
+        return tabs, jnp.asarray(dc_np), jnp.asarray(ac_np), True
+
+    def batched_pack(iq3, ib3, dcl, acl, per_tabs, bucket):
+        if relay_fused:
+            return _encode_batch_opt_core(
+                src, iq3, ib3, dcl, acl, yuv_mode=yuv_mode, width=w,
+                height=h, nb_blocks=nb_blocks, n_images=b, bucket=bucket,
+                per_image_tables=per_tabs, src_kind=src_kind)
+        vlc_state, _ = _stage_batch_quantize(
+            coeffs, iq3, ib3, with_stats=False, nb_blocks=nb_blocks,
+            n_images=b)
+        return _stage_batch_pack(vlc_state, dcl, acl, n_images=b,
+                                 bucket=bucket,
+                                 per_image_tables=per_tabs)
+
+    def batched_freqs(iq3, ib3):
+        if not flags["optimize_size"]:
+            return None
+        if relay_fused:
+            return _stage_batch_freqs_fused(
+                src, iq3, ib3, yuv_mode=yuv_mode, width=w, height=h,
+                nb_blocks=nb_blocks, n_images=b, stats_images=b,
+                src_kind=src_kind)
+        _, freqs = _stage_batch_quantize(
+            coeffs, iq3, ib3, with_stats=True, nb_blocks=nb_blocks,
+            n_images=b, per_image_stats=True)
+        return freqs
+
+    # size evaluation needs room for early high-quality passes; give the
+    # bucket target-size headroom on top of the pixel budget
+    bucket = int(min(n_blocks_img * pack.WORDS_PER_BLOCK,
+                     max(4096, w * h * bits_per_pixel_budget / 32,
+                         (param.target_value * 2 * 8) / 32 + 4096)))
+
+    best = [0.0] * b
+    best_q = [0.0] * b
+    best_result = [0.0] * b
+    opt_qms = [None] * b
+    done = [False] * b
+    overflow = [False] * b
+    passes = min(max(param.passes, 1), 20)
+
+    for p in range(passes):
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            per_qms = list(pool.map(make_qms, range(b)))
+        iq3, ib3 = stack_quant_arrays(per_qms)
+
+        if for_size:
+            freqs = batched_freqs(iq3, ib3)
+            tabs, dcl, acl, per_tabs = build_tables(freqs)
+            words, totals = batched_pack(iq3, ib3, dcl, acl, per_tabs,
+                                         bucket)
+            stuffs = np.asarray(_stage_count_stuffing_batch(words, totals))
+            totals_np = np.asarray(totals)
+            results = []
+            for i in range(b):
+                if (totals_np[i] == 0x7FFFFFFF
+                        or totals_np[i] > bucket * 32):
+                    overflow[i] = True
+                    results.append(None)
+                    continue
+                bits = (header_size_bits(param, layout.nb_comps, tabs[i])
+                        + int(totals_np[i]) + 8 * int(stuffs[i]))
+                results.append(float(np.float32(bits / 8.0)))
+        else:
+            q3 = jnp.asarray(np.stack(
+                [[q["quant"] for q in qms] for qms in per_qms]
+            ).astype(np.int32))
+            if relay_fused:
+                err_hi, err_lo = _stage_batch_qerr_fused(
+                    src, iq3, ib3, q3, yuv_mode=yuv_mode, width=w,
+                    height=h, n_images=b, src_kind=src_kind)
+            else:
+                err_hi, err_lo = _stage_batch_qerr(coeffs, iq3, ib3, q3, b)
+            err_hi, err_lo = np.asarray(err_hi), np.asarray(err_lo)
+            results = [get_psnr((int(err_hi[i]) << 32) | int(err_lo[i]),
+                                64 * n_blocks_img) for i in range(b)]
+
+        all_done = True
+        for i in range(b):
+            if done[i] or overflow[i]:
+                continue
+            hooks[i].pass_count = p
+            result = results[i]
+            if p == 0 or abs(result - hooks[i].target) < best[i]:
+                opt_qms[i] = [per_qms[i][0]["quant"].copy(),
+                              per_qms[i][1]["quant"].copy()]
+                best[i] = abs(result - hooks[i].target)
+                best_q[i] = hooks[i].q
+                best_result[i] = result
+            if hooks[i].update(result):
+                done[i] = True
+            else:
+                all_done = False
+        if all_done:
+            break
+
+    # final pass: re-quantize every image at its best matrices (tables are
+    # a pure function of the matrices, so recomputing reproduces the best
+    # pass's bytes exactly)
+    final_qms = []
+    for i in range(b):
+        if overflow[i]:
+            final_qms.append(make_qms(i))       # placeholder, unused
+            continue
+        qms = [spec.finalize_quant_matrix(opt_qms[i][g], min_qmats[g],
+                                          param.quantization_bias)
+               for g in range(2)]
+        final_qms.append(qms)
+        hooks[i].q = best_q[i]
+        hooks[i].value = best_result[i]
+    iq3, ib3 = stack_quant_arrays(final_qms)
+    freqs = batched_freqs(iq3, ib3)
+    tabs, dcl, acl, per_tabs = build_tables(freqs)
+    words, totals = batched_pack(iq3, ib3, dcl, acl, per_tabs, bucket)
+    totals_np = np.asarray(totals)
+    ok = (totals_np != 0x7FFFFFFF) & (totals_np <= bucket * 32)
+    words_np = fetch_streams_batch(words, np.where(ok, totals_np, 0))
+
+    if param.search_hook is not None:
+        # surface the batch's last image's outcome like the single path
+        param.search_hook.q = hooks[-1].q
+        param.search_hook.value = hooks[-1].value
+        param.search_hook.pass_count = hooks[-1].pass_count
+
+    out = []
+    for i in range(b):
+        total_bits = int(totals_np[i])
+        if overflow[i] or total_bits == 0x7FFFFFFF \
+                or total_bits > bucket * 32:
+            # rare: this image's streams outgrew the batch bucket at some
+            # pass — run the standard single-image search for it
+            out.append(_encode_one_search(src, src_kind, i, yuv_mode,
+                                          w, h, param, layout, flags))
+            continue
+        scan = _finalize_scan_bytes(words_np[i], total_bits)
+        out.append(_assemble_jpeg(layout, param, final_qms[i], tabs[i],
+                                  scan))
+    return out
+
+
+def _encode_one_search(src, src_kind: str, i: int, yuv_mode: int, w: int,
+                       h: int, param: EncoderParam, layout, flags):
+    """Single-image fallback for batch-search images that overflowed the
+    shared stream bucket."""
+    if src_kind == "rgb":
+        one = src[i]
+        get = lambda wh: _stage_coeffs(one, yuv_mode=yuv_mode, width=w,
+                                       height=h, with_histo=wh)
+    else:
+        planes = tuple(p[i] for p in src)
+        get = lambda wh: _stage_coeffs_planes(planes, yuv_mode=yuv_mode,
+                                              width=w, height=h,
+                                              with_histo=wh)
+    coeffs, histos = get(flags["use_adaptive_quant"])
+    param_i = dataclasses.replace(param, search_hook=None)
+    return _encode_search_device(coeffs, histos, layout, param_i)
+
+
 def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
     """Target-size / target-PSNR dichotomy over device-resident coeffs.
 
@@ -1391,7 +1714,9 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
     layout = pipeline.component_layout(yuv_mode, w, h)
 
     flags = method_flags(param.method)
-    if not flags["use_adaptive_quant"] and not flags["optimize_size"]:
+    searching = param.passes > 1 and param.target_mode != TARGET_NONE
+    if (not flags["use_adaptive_quant"] and not flags["optimize_size"]
+            and not searching):
         # fixed-table fast path: one fused device dispatch
         qmats = param.resolved_quant_matrices()
         min_qmats = param.resolved_min_quant_matrices()

@@ -74,6 +74,26 @@ def sum_u64(x, hi=None, lo=None):
     return shi, slo
 
 
+def sum_u64_rows(x):
+    """Row-wise exact uint64 sums of nonnegative int32 [B, N]: the
+    pairwise carry fold of `sum_u64` vectorized over a batch axis.
+    Returns ([B] hi, [B] lo) uint32."""
+    xlo = x.astype(jnp.uint32)
+    xhi = jnp.zeros_like(xlo)
+    while xlo.shape[1] > 1:
+        n = xlo.shape[1]
+        if n % 2:
+            xlo = jnp.pad(xlo, ((0, 0), (0, 1)))
+            xhi = jnp.pad(xhi, ((0, 0), (0, 1)))
+            n += 1
+        h = n // 2
+        s_lo = xlo[:, :h] + xlo[:, h:]
+        carry = (s_lo < xlo[:, :h]).astype(jnp.uint32)
+        xhi = xhi[:, :h] + xhi[:, h:] + carry
+        xlo = s_lo
+    return xhi[:, 0], xlo[:, 0]
+
+
 def store_histo(coeffs, n_images: int = 1):
     """[N, 64] coeffs -> [64, MAX_HISTO_DCT_COEFF] int32 histogram
     (or [B, 64, bins] segmented per image when n_images > 1; rows must
