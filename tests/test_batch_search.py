@@ -91,3 +91,31 @@ def test_method0_single_search_matches_host(tm_tv):
                      target_mode=tm, target_value=tv, passes=5,
                      tolerance=2.0)
     assert engine.encode_rgb(img, p) == host_encode_rgb(img, p)
+
+
+def test_sharded_api_delegates_search():
+    """encode_batch_sharded with passes > 1 must produce search results
+    identical to the per-image engine search (delegation path)."""
+    from sjpeg_tpu.parallel.api import default_mesh, encode_batch_sharded
+    imgs = _batch(n=2)
+    param = EncoderParam(quality=90, yuv_mode=C.YUV_420,
+                         target_mode=TARGET_SIZE, target_value=1200.0,
+                         passes=4, tolerance=2.0)
+    got = encode_batch_sharded(imgs, param, mesh=default_mesh())
+    for i in range(imgs.shape[0]):
+        assert got[i] == engine.encode_rgb(imgs[i], param), i
+
+
+def test_batch_search_auto_mode_groups():
+    """AUTO yuv mode: per-image mode decisions then grouped searches."""
+    rng = np.random.RandomState(5)
+    colorful = _batch(n=2)[0]
+    gray_rgb = np.repeat(rng.randint(0, 256, (40, 48, 1), dtype=np.uint8),
+                         3, axis=2)
+    imgs = np.stack([colorful, gray_rgb])
+    param = EncoderParam(quality=90, yuv_mode=C.YUV_AUTO,
+                         target_mode=TARGET_SIZE, target_value=1000.0,
+                         passes=4, tolerance=2.0)
+    got = engine.encode_batch(imgs, param)
+    for i in range(imgs.shape[0]):
+        assert got[i] == engine.encode_rgb(imgs[i], param), i
