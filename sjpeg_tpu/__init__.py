@@ -22,10 +22,16 @@ def version() -> str:
     return ".".join(map(str, SJPEG_TPU_VERSION))
 
 
-def encode_batch(rgbs, param=None) -> list:
+def encode_batch(rgbs, param=None, **kw) -> list:
     """Encode a uint8 image batch [B, H, W, 3] (throughput path)."""
     from .engine import encode_batch as _eb
-    return _eb(rgbs, param)
+    return _eb(rgbs, param, **kw)
+
+
+def encode_many(images, param=None, **kw) -> list:
+    """Encode a mixed-shape list of RGB images (grouped per shape)."""
+    from .engine import encode_many as _em
+    return _em(images, param, **kw)
 
 
 def encode_batch_yuv(y, u, v, is_420, param=None, **kw) -> list:
@@ -70,7 +76,7 @@ def encode(rgb, param=None, backend: str = "auto") -> bytes:
 
 
 __all__ = [
-    "EncoderParam", "SearchHook", "encode", "encode_batch",
+    "EncoderParam", "SearchHook", "encode", "encode_batch", "encode_many",
     "encode_batch_yuv", "encode_batch_gray", "encode_batch_nv12",
     "encode_batch_nv21", "encode_batch_sharded", "version",
     "host_encode_rgb", "host_encode_gray", "host_encode_yuv",

@@ -518,6 +518,27 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
                              bits_per_pixel_budget, share_statistics)
 
 
+def encode_many(images, param: Optional["EncoderParam"] = None,
+                **kw) -> list:
+    """Encode a heterogeneous sequence of RGB uint8 images ([H, W, 3],
+    shapes may differ).  Images are grouped by shape and each group runs
+    through one batched device program (`encode_batch`); results come
+    back in input order.  This is the serving-side wrapper for mixed
+    traffic — JPEG geometry is baked into every program's shapes, so
+    distinct resolutions cannot share a dispatch."""
+    param = param or EncoderParam()
+    groups = {}
+    for i, img in enumerate(images):
+        groups.setdefault(img.shape, []).append(i)
+    out = [None] * len(images)
+    for shape, idxs in groups.items():
+        sub = np.stack([np.asarray(images[i]) for i in idxs])
+        jpegs = encode_batch(sub, param, **kw)
+        for j, i in enumerate(idxs):
+            out[i] = jpegs[j]
+    return out
+
+
 def encode_batch_yuv(y, u, v, is_420: bool,
                      param: Optional["EncoderParam"] = None,
                      bits_per_pixel_budget: float = 4.0,

@@ -215,3 +215,14 @@ def test_encode_batch_nv_matches_host(kind):
     got = fn_b(yb, uvb, param)
     for i in range(yb.shape[0]):
         assert got[i] == fn_h(yb[i], uvb[i], param), i
+
+
+def test_encode_many_mixed_shapes():
+    from sjpeg_tpu import engine
+    rng = np.random.RandomState(31)
+    imgs = [rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            for (h, w) in [(24, 40), (40, 24), (24, 40), (17, 33)]]
+    param = EncoderParam(quality=75, yuv_mode=C.YUV_420)
+    got = engine.encode_many(imgs, param)
+    for i, img in enumerate(imgs):
+        assert got[i] == engine.encode_rgb(img, param), i
