@@ -1405,12 +1405,6 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
     ok = (totals_np != 0x7FFFFFFF) & (totals_np <= bucket * 32)
     words_np = fetch_streams_batch(words, np.where(ok, totals_np, 0))
 
-    if param.search_hook is not None:
-        # surface the batch's last image's outcome like the single path
-        param.search_hook.q = hooks[-1].q
-        param.search_hook.value = hooks[-1].value
-        param.search_hook.pass_count = hooks[-1].pass_count
-
     out = []
     for i in range(b):
         total_bits = int(totals_np[i])

@@ -106,3 +106,43 @@ def test_sharded_pallas_branch_1x1_mesh():
     assert int(t2) == total
     nw = (total + 31) // 32
     np.testing.assert_array_equal(stream[:nw], np.asarray(w2)[:nw])
+
+
+def test_batched_search_on_hardware():
+    """Batched dichotomy through the relay-fused per-pass programs."""
+    from sjpeg_tpu.engine import encode_batch
+    from sjpeg_tpu.params import TARGET_PSNR, TARGET_SIZE
+    rng = np.random.RandomState(7)
+    imgs = rng.randint(0, 256, (3, 64, 64, 3), dtype=np.uint8)
+    imgs[1] //= 3
+    for tm, tv in ((TARGET_SIZE, 2600.0), (TARGET_PSNR, 30.0)):
+        p = EncoderParam(quality=85, yuv_mode=C.YUV_420,
+                         target_mode=tm, target_value=tv, passes=5,
+                         tolerance=2.0)
+        outs = encode_batch(imgs, p)
+        for i in range(len(imgs)):
+            assert outs[i] == host_encode_rgb(imgs[i], p), (tm, i)
+
+
+def test_batched_planar_nv12_on_hardware():
+    from sjpeg_tpu.engine import (encode_batch_gray, encode_batch_nv12,
+                                  encode_batch_yuv)
+    from sjpeg_tpu.host_encoder import (encode_gray, encode_nv12,
+                                        encode_yuv)
+    rng = np.random.RandomState(13)
+    b, h, w = 3, 72, 80
+    y = rng.randint(0, 256, (b, h, w), dtype=np.uint8)
+    u = rng.randint(0, 256, (b, h // 2, w // 2), dtype=np.uint8)
+    v = rng.randint(0, 256, (b, h // 2, w // 2), dtype=np.uint8)
+    p = EncoderParam(quality=75, yuv_mode=C.YUV_420)
+    outs = encode_batch_yuv(y, u, v, True, p)
+    for i in range(b):
+        assert outs[i] == encode_yuv(y[i], u[i], v[i], True, p), i
+    uv = np.stack([u, v], axis=-1)
+    outs = encode_batch_nv12(y, uv, p)
+    for i in range(b):
+        assert outs[i] == encode_nv12(y[i], uv[i], p), i
+    pg = EncoderParam(quality=75, yuv_mode=C.YUV_400)
+    outs = encode_batch_gray(y, pg)
+    for i in range(b):
+        assert outs[i] == encode_gray(y[i], pg), i
