@@ -477,7 +477,12 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
     derives ONE table set / tuned matrix pair from the whole batch's
     statistics — a deliberate deviation knob (SURVEY §7.3): streams stay
     valid baseline JPEG at near-identical rate while the host table
-    build stays O(1) per batch.  Set `param.passes` <= 1.
+    build stays O(1) per batch.
+
+    Target-size / target-PSNR searches (param.passes > 1 with a target
+    mode) run as B independent dichotomies sharing one batched device
+    program per pass, byte-identical to the per-image search;
+    share_statistics does not apply to searches.
     """
     param = param or EncoderParam()
     b, h, w = rgbs.shape[:3]
