@@ -108,3 +108,43 @@ def test_fuzz_search_matches_reference(reference_bin, tmp_path, seed):
                              f"s{seed}")
     got = host_encode_rgb(rgb, param)
     assert got == want, (rgb.shape, args)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_recompression_matches_reference(reference_bin, tmp_path,
+                                              seed):
+    """Random JPEG-in recompression: -r reduction with/without quant
+    limiting vs the reference recipe (examples/sjpeg.cc:262-292)."""
+    from sjpeg_tpu import find_quantizer
+    rng = np.random.RandomState(3000 + seed)
+    rgb = _rand_image(rng)
+    q0 = int(rng.randint(40, 95))
+    src_jpeg = _reference_encode(reference_bin, rgb, ["-q", str(q0)],
+                                 tmp_path, f"r{seed}src")
+    jin = tmp_path / f"r{seed}.jpg"
+    jin.write_bytes(src_jpeg)
+    out = tmp_path / f"r{seed}out.jpg"
+
+    reduction = float(np.round(30 + 69 * rng.rand(), 1))
+    no_limit = bool(rng.randint(2))
+    args = [str(jin), "-o", str(out), "-quiet", "-no_metadata",
+            "-r", str(reduction)]
+    if no_limit:
+        args.append("-no_limit")
+    subprocess.run([str(reference_bin), *args], check=True,
+                   capture_output=True)
+    want = out.read_bytes()
+
+    # decode the source the same way the reference CLI does (libjpeg);
+    # PIL uses libjpeg too — pixel-identical for baseline streams
+    import io
+    from PIL import Image
+    decoded = np.asarray(Image.open(io.BytesIO(src_jpeg)).convert("RGB"))
+
+    _, mats = find_quantizer(src_jpeg)
+    param = EncoderParam(quality=75)
+    param.set_quantization(mats, reduction)
+    if not no_limit:
+        param.set_limit_quantization(True)
+    got = host_encode_rgb(decoded, param)
+    assert got == want, (rgb.shape, q0, reduction, no_limit)
