@@ -37,8 +37,8 @@ _COL_SLOT_ROW = [0, 4, 2, 6, 1, 3, 5, 7]
 _ROW_SLOT_COL = [0, 4, 2, 6, 1, 3, 5, 7]
 
 
-@functools.lru_cache(maxsize=2)
-def fdct_matrices(zigzag_out: bool = False):
+@functools.lru_cache(maxsize=4)
+def fdct_matrices(zigzag_out: bool = False, paired: bool = False):
     """Constant operands: (A, PCB, PO, KV) — float32 [64, 64] matrices and
     KV int32 [8, 64] per-lane multiplier vectors.
 
@@ -48,7 +48,12 @@ def fdct_matrices(zigzag_out: bool = False):
     (PO @ ZZ), letting the fused encode kernel quantize in zigzag domain
     and skip a separate permutation matmul.  All entries are small
     integers (|v| <= 32), exactly representable in bfloat16, which is
-    what makes the 2-pass hi/lo matmul scheme in `_imatmul` exact."""
+    what makes the 2-pass hi/lo matmul scheme in `_imatmul` exact.
+
+    `paired`: two-blocks-per-row [*, 128] layout — matrices become
+    kron(I2, M) [128, 128] block-diagonals and KV tiles to [8, 128], so
+    one MXU pass transforms both blocks of a row (the 64-wide matrices
+    would otherwise use a quarter of the 128x128 systolic array)."""
     # ---- A: raster -> column-pass linear combos (slot layout 8c + k) ----
     # per-column combos over x_r; rows of `cf` are coefficient vectors
     e = np.eye(8, dtype=np.int64)
@@ -132,6 +137,12 @@ def fdct_matrices(zigzag_out: bool = False):
         for j, src in enumerate(C.ZIGZAG):
             ZZ[src, j] = 1.0
         PO = (PO.astype(np.int64) @ ZZ.astype(np.int64)).astype(np.float32)
+    if paired:
+        eye2 = np.eye(2, dtype=np.float32)
+        A = np.kron(eye2, A)
+        PCB = np.kron(eye2, PCB)
+        PO = np.kron(eye2, PO)
+        KV = np.tile(KV, (1, 2))
     return A, PCB, PO, KV
 
 
@@ -168,18 +179,23 @@ def _imatmul(x, m_ref, input_bits: int = 16):
 
 
 def _roll(x, s):
-    return pltpu.roll(x, shift=s % 64, axis=1)
+    return pltpu.roll(x, shift=s % x.shape[-1], axis=1)
 
 
 def fdct_body(x, a_ref, pcb_ref, po_ref, kv_ref, roll=_roll):
     """[T, 64] int32 raster samples (8-bit range, i.e. [-128, 127]) ->
     [T, 64] int32 coeffs (x16 scale) in raster order — or zigzag order
     when `po_ref` holds the fdct_matrices(zigzag_out=True) variant.
+    With the fdct_matrices(paired=True) operands the same body handles
+    the [T/2, 128] two-blocks-per-row layout: every roll distance is
+    consumed within its own 8-lane group, so circular rolls over 128
+    lanes are equivalent to per-64-half rolls.
 
-    `roll(x, s)` must satisfy roll(x, s)[:, l] == x[:, l - s (mod 64)];
+    `roll(x, s)` must satisfy roll(x, s)[:, l] == x[:, l - s (mod L)];
     tests pass jnp.roll, kernels the pltpu lane roll.
     """
     T = x.shape[0]
+    L = x.shape[1]
 
     # ---- column pass (samples are 8-bit: single-pass matmul) ----
     w = _imatmul(x, a_ref, input_bits=8)       # col-slot combos
@@ -197,7 +213,7 @@ def fdct_body(x, a_ref, pcb_ref, po_ref, kv_ref, roll=_roll):
     a5c = roll(d, _K_L7 - _K_L5) + roll(ee, _K_L7 - _K_L6)   # [k6] = col5
     a6c = roll(q1, _K_L8 - _K_L6) - roll(s, _K_L8 - _K_L5)   # [k7] = col7
 
-    slot = jax.lax.broadcasted_iota(jnp.int32, (T, 64), 1) & 7
+    slot = jax.lax.broadcasted_iota(jnp.int32, (T, L), 1) & 7
     cols = jnp.where(slot <= _K_COL4, w,
                      jnp.where(slot == _K_L1, a1c,
                                jnp.where(slot == _K_L2, a2c,

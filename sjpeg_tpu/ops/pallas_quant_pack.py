@@ -1,22 +1,26 @@
 """Pallas TPU kernel: fused quantize + zigzag + run/level + VLC + pack.
 
-Extends the VLC+pack kernel (pallas_vlc_pack) all the way back to raw fDCT
-coefficients: one VMEM-resident pass takes interleaved (MCU-order)
-coefficient blocks and produces each block's packed bit buffer + exact bit
-count.  Replaces the XLA quantize / zigzag-gather / cummax run-length
-chain (reference per-block flow: quantize src/enc.cc:598-630, zigzag +
-run/level emission src/enc.cc:882-911) and removes the three [N, 64] int32
-run/size/code intermediates from HBM entirely.
+Extends the VLC+pack kernel (pallas_vlc_pack) all the way back to raw
+samples: one VMEM-resident pass takes interleaved (MCU-order) blocks and
+produces each block's packed bit buffer + exact bit count.  Replaces the
+XLA quantize / zigzag-gather / cummax run-length chain (reference
+per-block flow: quantize src/enc.cc:598-630, zigzag + run/level emission
+src/enc.cc:882-911) and removes the three [N, 64] int32 run/size/code
+intermediates from HBM entirely.
 
-In-kernel stages per [T, 64] tile:
-1. quantize: |c|+bias, 16-bit reciprocal multiply, AC_BITS shift, sign
-   restore; per-row table group selects the luma/chroma rows of the
-   [2, 64] iquant/bias VMEM inputs.
-2. zigzag: one-hot permutation matmul on the MXU (f32 is exact for the
-   12-bit quantized magnitudes; a lane gather would not vectorize).
+Layout: two blocks per kernel row ([T/2, 128], block A in lanes 0-63 =
+tile blocks [0, T/2), block B in lanes 64-127 = [T/2, T)) — see
+pallas_vlc_pack's module docstring for why.  In-kernel stages per tile:
+1. fDCT (samples-in kernels): pallas_fdct.fdct_body with the paired
+   kron(I2, M) matrices — MXU matmuls at full 128-lane width, output
+   folded straight into zigzag order.
+2. quantize: |c|+bias, 16-bit reciprocal multiply, AC_BITS shift, sign
+   restore; luma/chroma rows of the [2, 128] tiled quantizer inputs
+   selected by the per-half group mask.
 3. run/level: bit-length via 4 halving steps, zero-run via a log-step
-   running-maximum scan over lanes.
-4. Huffman lookup + word packing: shared fields_to_words body.
+   running-maximum scan with per-half base sentinels.
+4. Huffman lookup + word packing: pallas_vlc_pack.paired_fields_to_words
+   (the per-block DC lookup ships pre-packed in the meta rows).
 """
 
 import functools
@@ -29,20 +33,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from . import pallas_fdct
-from .pallas_vlc_pack import (LANE, WORDS, cols_from_lanes, fields_to_words,
-                              lanes_from_cols, pack_block_meta,
-                              unpack_block_meta)
+from .pallas_vlc_pack import (LANE, WORDS, _cummax_lanes, _DropLead,
+                              _paired, build_meta_rows, lanes_from_cols,
+                              meta_split, paired_fields_to_words)
 
 DEFAULT_TILE = 512
 
 
 @functools.lru_cache(maxsize=1)
-def _zigzag_matrix():
-    """[64, 64] one-hot f32: out[j] = in[ZIGZAG[j]] via in @ P."""
+def _zigzag_matrix_paired():
+    """[128, 128] kron(I2, ZZ) one-hot f32: out[j] = in[ZIGZAG[j]] per
+    64-lane half via in @ P."""
     p = np.zeros((64, 64), dtype=np.float32)
     for j, src in enumerate(C.ZIGZAG):
         p[src, j] = 1.0
-    return p
+    return np.kron(np.eye(2, dtype=np.float32), p)
 
 
 _ZZ = tuple(int(v) for v in C.ZIGZAG)
@@ -56,6 +61,11 @@ def _to_zigzag_lanes(vec):
     return vec[..., jnp.asarray(_ZZ)]
 
 
+def _tile_lanes(vec):
+    """[..., G, 64] quantizer rows -> [..., G, 128] for paired rows."""
+    return jnp.concatenate([vec, vec], axis=-1)
+
+
 def _calc_log2(v):
     """Bit length of v for v >= 1 (int32), elementwise (enc.cc:468-480)."""
     out = jnp.zeros_like(v)
@@ -67,21 +77,10 @@ def _calc_log2(v):
     return out + (v > 0).astype(jnp.int32)
 
 
-def _cummax_lanes(x):
-    """Inclusive running maximum along the last (lane) axis, log steps."""
-    lanes = x.shape[-1]
-    zeros = jnp.zeros_like(x)
-    s = 1
-    while s < lanes:
-        shifted = jnp.concatenate([zeros[:, :s], x[:, :-s]], axis=1)
-        x = jnp.maximum(x, shifted)
-        s <<= 1
-    return x
-
-
 def _quantize(coef, grp0, iquant_ref, ibias_ref):
     """Exact uint32 16-bit reciprocal quantizer; domain-agnostic — the
-    quantizer rows must share the coefficient lane order."""
+    quantizer rows must share the coefficient lane order.  grp0 is a
+    [T, L] mask; iquant/ibias rows are [2, L]."""
     iq = jnp.where(grp0, iquant_ref[0:1, :], iquant_ref[1:2, :])
     ib = jnp.where(grp0, ibias_ref[0:1, :], ibias_ref[1:2, :])
     t = (jnp.abs(coef) + ib).astype(jnp.uint32)
@@ -90,50 +89,45 @@ def _quantize(coef, grp0, iquant_ref, ibias_ref):
     return jnp.where(coef < 0, -q, q)
 
 
-def _quant_pack_body(coef, dc_code, group, iquant_ref, ibias_ref,
-                     zz_ref, dc_lut_ref, ac_lut_ref):
-    """coef [T, 64] raster int32 -> (words [T, 64] uint32, total [T, 1])."""
-    grp0 = group == 0                                    # [T, 1]
-    q = _quantize(coef, grp0, iquant_ref, ibias_ref)
-
-    # --- zigzag permutation on the MXU (2-pass hi/lo exact matmul) ---
-    zz = pallas_fdct._imatmul(q, zz_ref, input_bits=16)
-
-    return _rl_fields(zz, dc_code, group, dc_lut_ref, ac_lut_ref)
-
-
-def _rl_fields(zz, dc_code, group, dc_lut_ref, ac_lut_ref):
-    """Zigzag-domain quantized levels -> packed words + totals."""
-    T = zz.shape[0]
-    lane64 = jax.lax.broadcasted_iota(jnp.int32, (T, 64), 1)
-    nz = (zz != 0) & (lane64 > 0)
+def _rl_fields(zz, mdc, grp0, ac_lut_ref):
+    """Paired zigzag-domain quantized levels [R, 128] -> packed words +
+    totals (run/size/code derivation + paired_fields_to_words)."""
+    R = zz.shape[0]
+    gl = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    lane_ib = gl & 63
+    nz = (zz != 0) & (lane_ib > 0)
     m = jnp.abs(zz)
     size = jnp.where(nz, _calc_log2(jnp.maximum(m, 1)), 0)
     neg = jnp.where(zz < 0, -1, 0)
     code = (m ^ neg) & ((1 << size) - 1)
-    prev = _cummax_lanes(jnp.where(nz, lane64, 0))
+    # zero-run length: distance to the previous nonzero lane within the
+    # half; per-half base sentinels at lanes 0/64 keep the full-width
+    # running max from crossing the block boundary
+    prev = _cummax_lanes(
+        jnp.where(nz, gl, jnp.where(lane_ib == 0, gl, 0)))
     prev_before = jnp.concatenate(
-        [jnp.zeros((T, 1), jnp.int32), prev[:, :-1]], axis=1)
-    run = jnp.where(nz, lane64 - prev_before - 1, 0)
-
-    return fields_to_words(run, size, code, nz, dc_code, group,
-                           dc_lut_ref, ac_lut_ref)
+        [jnp.zeros((R, 1), jnp.int32), prev[:, :-1]], axis=1)
+    run = jnp.where(nz, gl - prev_before - 1, 0)
+    return paired_fields_to_words(run, size, code, nz, mdc, grp0,
+                                  ac_lut_ref)
 
 
 def _quant_pack_kernel(coef_ref, meta_ref, iquant_ref, ibias_ref,
-                       zz_ref, dc_lut_ref, ac_lut_ref, words_ref,
-                       total_ref):
-    dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
-    words, total = _quant_pack_body(
-        coef_ref[:], dc, group, iquant_ref, ibias_ref,
-        zz_ref, dc_lut_ref, ac_lut_ref)
+                       zz_ref, ac_lut_ref, words_ref, total_ref, *, tpm):
+    coef = _paired(coef_ref[:])
+    R = coef.shape[0]
+    mdc, grp0 = meta_split(meta_ref, tpm, R)
+    q = _quantize(coef, grp0, iquant_ref, ibias_ref)
+    # zigzag permutation on the MXU (2-pass hi/lo exact matmul)
+    zz = pallas_fdct._imatmul(q, zz_ref, input_bits=16)
+    words, total = _rl_fields(zz, mdc, grp0, ac_lut_ref)
     words_ref[:] = words
-    total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
+    total_ref[:] = lanes_from_cols(total, total_ref.shape[1])
 
 
 def _sample_pack_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
                         fa_ref, fpcb_ref, fpozz_ref, fkv_ref,
-                        dc_lut_ref, ac_lut_ref, words_ref, total_ref):
+                        ac_lut_ref, words_ref, total_ref, *, tpm):
     """Samples-in variant: runs the in-kernel fDCT (pallas_fdct.fdct_body,
     MXU matmuls + int32 fixups) before the shared quantize/VLC/pack body,
     so raw centered samples go in and packed bit streams come out — the
@@ -141,33 +135,29 @@ def _sample_pack_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
     permutation is folded with the zigzag (fpozz), so coefficients arrive
     zigzag-ordered and quantize against zigzag-permuted quantizer rows —
     no separate permutation matmul."""
-    zz = pallas_fdct.fdct_body(x_ref[:].astype(jnp.int32), fa_ref,
-                               fpcb_ref, fpozz_ref, fkv_ref)
-    dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
-    grp0 = group == 0
+    xp = _paired(x_ref[:].astype(jnp.int32))
+    R = xp.shape[0]
+    zz = pallas_fdct.fdct_body(xp, fa_ref, fpcb_ref, fpozz_ref, fkv_ref)
+    mdc, grp0 = meta_split(meta_ref, tpm, R)
     q = _quantize(zz, grp0, iquant_ref, ibias_ref)
-    words, total = _rl_fields(q, dc, group, dc_lut_ref, ac_lut_ref)
+    words, total = _rl_fields(q, mdc, grp0, ac_lut_ref)
     words_ref[:] = words
-    total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
+    total_ref[:] = lanes_from_cols(total, total_ref.shape[1])
 
 
 def _sample_pack_kernel_sets(x_ref, meta_ref, iquant_ref, ibias_ref,
                              fa_ref, fpcb_ref, fpozz_ref, fkv_ref,
-                             dc_lut_ref, ac_lut_ref, words_ref,
-                             total_ref):
-    """Per-image variant: quantizer rows and Huffman LUTs carry a leading
+                             ac_lut_ref, words_ref, total_ref, *, tpm):
+    """Per-image variant: quantizer rows and the AC LUT carry a leading
     singleton dim selected per image by the BlockSpec index maps."""
-    from .pallas_vlc_pack import _DropLead
-
-    zz = pallas_fdct.fdct_body(x_ref[:].astype(jnp.int32), fa_ref,
-                               fpcb_ref, fpozz_ref, fkv_ref)
-    dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
-    grp0 = group == 0
+    xp = _paired(x_ref[:].astype(jnp.int32))
+    R = xp.shape[0]
+    zz = pallas_fdct.fdct_body(xp, fa_ref, fpcb_ref, fpozz_ref, fkv_ref)
+    mdc, grp0 = meta_split(meta_ref, tpm, R)
     q = _quantize(zz, grp0, _DropLead(iquant_ref), _DropLead(ibias_ref))
-    words, total = _rl_fields(q, dc, group, _DropLead(dc_lut_ref),
-                              _DropLead(ac_lut_ref))
+    words, total = _rl_fields(q, mdc, grp0, _DropLead(ac_lut_ref))
     words_ref[:] = words
-    total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
+    total_ref[:] = lanes_from_cols(total, total_ref.shape[1])
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "tiles_per_img"))
@@ -193,48 +183,54 @@ def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
         dc_codes = jnp.pad(dc_codes, (0, rem))
         group = jnp.pad(group, (0, rem))
     NP = N + rem
-    A, PCB, POZZ, KV = pallas_fdct.fdct_matrices(zigzag_out=True)
-    # the kernel quantizes in zigzag domain (folded PO @ ZZ output)
-    iquant2 = _to_zigzag_lanes(iquant2)
-    ibias2 = _to_zigzag_lanes(ibias2)
+    A, PCB, POZZ, KV = pallas_fdct.fdct_matrices(zigzag_out=True,
+                                                 paired=True)
+    # the kernel quantizes in zigzag domain (folded PO @ ZZ output),
+    # paired rows: both 64-lane halves see the same quantizer lanes
+    iquant2 = _tile_lanes(_to_zigzag_lanes(iquant2))
+    ibias2 = _tile_lanes(_to_zigzag_lanes(ibias2))
     # Mosaic block rule: sublane dim divisible by 8 -> 64-lane meta rows
     # give an (8, 64) block at the production tile; tiny test tiles fall
     # back to one row per block (interpret mode does not enforce tiling)
     mw = 64 if tile % 512 == 0 else tile
-    meta = pack_block_meta(dc_codes, group).reshape(NP // mw, mw)
+    tpm = tile // mw
+    n_images = dc_luts.shape[0] if dc_luts.ndim == 3 else 1
+    meta = build_meta_rows(dc_codes, group, dc_luts, tile, mw, n_images)
 
     spec64 = pl.BlockSpec((tile, 64), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec_meta = pl.BlockSpec((tile // mw, mw), lambda i: (i, 0),
+    spec_meta = pl.BlockSpec((2 * tpm, mw), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
+    spec_tot = pl.BlockSpec((tpm, mw), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     if tiles_per_img:
         assert iquant2.ndim == 3 and dc_luts.ndim == 3 and \
-            NP // tile == dc_luts.shape[0] * tiles_per_img
+            NP // tile == n_images * tiles_per_img
         t = tiles_per_img
         per_img = lambda shape, space: pl.BlockSpec(
             (1,) + shape, lambda i, t=t: (i // t, 0, 0),
             memory_space=space)
-        q_spec = lambda: per_img((2, 64), pltpu.VMEM)
-        lut_spec = lambda shape: per_img(shape, pltpu.SMEM)
-        kernel = _sample_pack_kernel_sets
+        q_spec = lambda: per_img((2, LANE), pltpu.VMEM)
+        lut_spec = per_img((2, 256), pltpu.SMEM)
+        kernel = functools.partial(_sample_pack_kernel_sets, tpm=tpm)
     else:
-        q_spec = lambda: const((2, 64))
-        lut_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                              memory_space=pltpu.SMEM)
-        kernel = _sample_pack_kernel
+        q_spec = lambda: const((2, LANE))
+        lut_spec = pl.BlockSpec((2, 256), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        kernel = functools.partial(_sample_pack_kernel, tpm=tpm)
     words, totals = pl.pallas_call(
         kernel,
         grid=(NP // tile,),
         in_specs=[spec64, spec_meta, q_spec(), q_spec(),
-                  const((64, 64)), const((64, 64)), const((64, 64)),
-                  const((8, 64)),
-                  lut_spec((2, 16)), lut_spec((2, 256))],
+                  const((LANE, LANE)), const((LANE, LANE)),
+                  const((LANE, LANE)), const((8, LANE)),
+                  lut_spec],
         out_specs=(
             pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            spec_meta,
+            spec_tot,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((NP, WORDS), jnp.uint32),
@@ -243,8 +239,7 @@ def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
     )(samples.astype(jnp.int8), meta,
       iquant2.astype(jnp.int32), ibias2.astype(jnp.int32),
       jnp.asarray(A), jnp.asarray(PCB), jnp.asarray(POZZ),
-      jnp.asarray(KV),
-      dc_luts.astype(jnp.uint32), ac_luts.astype(jnp.uint32))
+      jnp.asarray(KV), ac_luts.astype(jnp.uint32))
     return words[:N], totals.reshape(-1)[:N]
 
 
@@ -267,31 +262,33 @@ def quant_vlc_pack_pallas(coeffs, dc_codes, group, iquant2, ibias2,
         dc_codes = jnp.pad(dc_codes, (0, rem))
         group = jnp.pad(group, (0, rem))
     NP = N + rem
-    # Mosaic block rule: sublane dim divisible by 8 -> 64-lane meta rows
-    # give an (8, 64) block at the production tile; tiny test tiles fall
-    # back to one row per block (interpret mode does not enforce tiling)
     mw = 64 if tile % 512 == 0 else tile
-    meta = pack_block_meta(dc_codes, group).reshape(NP // mw, mw)
+    tpm = tile // mw
+    meta = build_meta_rows(dc_codes, group, dc_luts, tile, mw)
+    # raster-domain quantizer rows, tiled over both halves
+    iquant2 = _tile_lanes(iquant2)
+    ibias2 = _tile_lanes(ibias2)
 
     spec64 = pl.BlockSpec((tile, 64), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec_meta = pl.BlockSpec((tile // mw, mw), lambda i: (i, 0),
+    spec_meta = pl.BlockSpec((2 * tpm, mw), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    const64 = pl.BlockSpec((2, 64), lambda i: (0, 0),
+    spec_tot = pl.BlockSpec((tpm, mw), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const2 = pl.BlockSpec((2, LANE), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    zz_spec = pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
-    zz_spec = pl.BlockSpec((64, 64), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    lut_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                          memory_space=pltpu.SMEM)
+    lut_spec = pl.BlockSpec((2, 256), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
     words, totals = pl.pallas_call(
-        _quant_pack_kernel,
+        functools.partial(_quant_pack_kernel, tpm=tpm),
         grid=(NP // tile,),
-        in_specs=[spec64, spec_meta, const64, const64, zz_spec,
-                  lut_spec((2, 16)), lut_spec((2, 256))],
+        in_specs=[spec64, spec_meta, const2, const2, zz_spec, lut_spec],
         out_specs=(
             pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            spec_meta,
+            spec_tot,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((NP, WORDS), jnp.uint32),
@@ -299,6 +296,6 @@ def quant_vlc_pack_pallas(coeffs, dc_codes, group, iquant2, ibias2,
         ),
     )(coeffs.astype(jnp.int32), meta,
       iquant2.astype(jnp.int32), ibias2.astype(jnp.int32),
-      jnp.asarray(_zigzag_matrix()),
-      dc_luts.astype(jnp.uint32), ac_luts.astype(jnp.uint32))
+      jnp.asarray(_zigzag_matrix_paired()),
+      ac_luts.astype(jnp.uint32))
     return words[:N], totals.reshape(-1)[:N]

@@ -6,13 +6,23 @@ VMEM-resident pass:
 
 1. Huffman lookups as masked accumulation over the (run, size) symbol
    domain — TPU has no vector gather, and XLA's gather lowering costs
-   ~10 ns/element; 176 predicated selects on whole tiles beat it by >10x.
-   Tables are runtime inputs (two groups: luma/chroma), selected per row.
-2. Entry streams assembled *interleaved* via `pltpu.repeat` + static roll
-   lane arithmetic (DC, then per AC position escape-pair / escape-single /
-   symbol+value lanes, then EOB) — no [N, 192] HBM materialization at all.
-3. Exclusive bit-offset cumsum (log-step shifted adds), word-straddling
-   hi/lo split, and the 64-word predicated-reduction pack.
+   ~10 ns/element; grouped predicated selects on whole tiles beat it by
+   >10x.  AC tables are runtime inputs (two groups: luma/chroma),
+   selected per lane.  The per-block DC lookup happens *outside* the
+   kernel on [N] arrays (32 predicated selects in XLA) and ships as a
+   packed (dc_value << 5 | dc_len) word in the lane-packed meta rows —
+   per-block [T, 1]-shaped work inside a kernel costs a full vreg row
+   per op, the same as [T, 64] work, so scalar chains don't belong here.
+2. Two blocks per kernel row: every [*, 64] array would waste half of
+   each 128-lane vreg, so fields are carried as [T/2, 128] with block A
+   in lanes 0-63 and block B in lanes 64-127 (A = tile blocks [0, T/2),
+   B = [T/2, T)); lane scans (bit-offset cumsum, zero-run cummax) are
+   segmented at the half boundary.  This halves the VPU cost of the
+   whole body (measured 2.8x on chip for the op mix).
+3. Entry streams assembled *interleaved* — no [N, 192] HBM
+   materialization: exclusive bit-offset cumsum (log-step shifted adds),
+   word-straddling hi/lo split, and the 64-word predicated-reduction
+   pack over one-block rows.
 
 This kernel plus the concat kernel replace everything between
 quantization and the byte-level host pass.
@@ -27,19 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_pack import _cumsum_lanes_exclusive
 
-ENTRIES = 192
 WORDS = 64
 DEFAULT_TILE = 512
-_MAX_SIZE = 11          # max AC size category (coeffs are <= 11 bits)
 LANE = 128
-
-# Per-block scalars (DC code, table group, total bits) cost ~1.7 ms of
-# DMA each per 393k-block batch when shipped as [N, 1] arrays — TPU
-# tiled layouts pad the minor dim to 128 lanes.  Instead they travel as
-# full-lane [N/128, 128] rows and convert to/from the kernel's [T, 1]
-# per-row shape with a diagonal extract/spread (a handful of [128, 128]
-# VPU ops per tile).
-_META_GROUP_SHIFT = 20
 
 
 def _eye(w):
@@ -68,53 +68,186 @@ def lanes_from_cols(col, w):
     return jnp.concatenate(outs, axis=0)
 
 
-def pack_block_meta(dc_codes, group):
-    """[N] dc codes (<= 2^16) + [N] table groups -> [N] packed meta."""
-    return (dc_codes.astype(jnp.int32)
-            | (group.astype(jnp.int32) << _META_GROUP_SHIFT))
+def _paired(x):
+    """[T, C] one-block rows -> [T/2, 2C]: block r in lanes [0, C) of
+    row r, block r + T/2 in lanes [C, 2C)."""
+    half = x.shape[0] // 2
+    return jnp.concatenate([x[:half], x[half:]], axis=1)
 
 
-def unpack_block_meta(meta_col):
-    dc = meta_col & ((1 << _META_GROUP_SHIFT) - 1)
-    group = meta_col >> _META_GROUP_SHIFT
-    return dc, group
+def _unpaired(x):
+    """[R, 2C] paired rows -> [2R, C] one-block rows (inverse of
+    `_paired`)."""
+    half = x.shape[1] // 2
+    return jnp.concatenate([x[:, :half], x[:, half:]], axis=0)
 
 
-def _vlc_pack_kernel(run_ref, size_ref, code_ref, meta_ref,
-                     dc_lut_ref, ac_lut_ref, words_ref, total_ref):
-    dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
-    words, total = _vlc_pack_body(
-        run_ref[:], size_ref[:], code_ref[:], dc, group,
-        dc_lut_ref, ac_lut_ref)
-    words_ref[:] = words
-    total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
+def _cumsum_seg_exclusive(x, seg):
+    """Exclusive prefix sum along lanes, restarting every `seg` lanes."""
+    lanes = x.shape[-1]
+    if seg == lanes:
+        return _cumsum_lanes_exclusive(x)
+    lane_ib = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % seg
+    zeros = jnp.zeros_like(x)
+    total = x
+    s = 1
+    while s < seg:
+        shifted = jnp.concatenate([zeros[:, :s], total[:, :-s]], axis=1)
+        total = total + jnp.where(lane_ib >= s, shifted, 0)
+        s <<= 1
+    return total - x
 
 
-def _vlc_pack_body(run, size, code, dc_code, group, ac_scalar_src_dc,
-                   ac_scalar_src_ac):
-    """Pure body shared by the kernel and its tests.
+def _cummax_lanes(x):
+    """Inclusive running maximum along the last (lane) axis, log steps."""
+    lanes = x.shape[-1]
+    zeros = jnp.zeros_like(x)
+    s = 1
+    while s < lanes:
+        shifted = jnp.concatenate([zeros[:, :s], x[:, :-s]], axis=1)
+        x = jnp.maximum(x, shifted)
+        s <<= 1
+    return x
 
-    `ac_scalar_src_dc`/`ac_scalar_src_ac` are indexable [2, K] sources of
-    LUT scalars (pallas Refs in the kernel, arrays in tests).
+
+# ---------------------------------------------------------------------------
+# XLA-side helpers (wrapper code, not kernel code)
+# ---------------------------------------------------------------------------
+
+_DC_SHIFT = 5            # packed meta: (dc_value << 5) | dc_bit_length
+
+
+def dc_pack32(dc_codes, group, dc_luts, n_images: int = 1):
+    """[N] packed DC size|suffix codes + [N] groups -> [N] uint32
+    (dc_value << 5 | dc_len) via the group's DC Huffman table.
+
+    The reference's DC path (src/enc.cc:482-499 + the kDCTable lookup in
+    CodeBlock, src/enc.cc:889-892) as 32 predicated selects over [N]
+    arrays — XLA's vector gather would cost ~10 ns/element.
+    dc_luts: [2, 16] shared or [B, 2, 16] per-image packed
+    (code << 16 | len) LUTs.
     """
-    T = run.shape[0]
-    lane64 = jax.lax.broadcasted_iota(jnp.int32, (T, 64), 1)
-    nz = (size > 0) & (lane64 > 0)
-    return fields_to_words(run, size, code, nz, dc_code, group,
-                           ac_scalar_src_dc, ac_scalar_src_ac)
+    dcl = (dc_codes & 15).astype(jnp.int32)
+    suffix = (dc_codes >> 4).astype(jnp.uint32) & 0xFFF
+    per_img = dc_luts.ndim == 3
+    if per_img:
+        shp = (n_images, dc_codes.shape[0] // n_images)
+        dcl2 = dcl.reshape(shp)
+        grp2 = group.reshape(shp)
+        packed = jnp.zeros(shp, jnp.uint32)
+        for g in range(2):
+            for k in range(16):
+                leaf = dc_luts[:, g, k].astype(jnp.uint32)[:, None]
+                packed = packed | jnp.where((grp2 == g) & (dcl2 == k),
+                                            leaf, jnp.uint32(0))
+        packed = packed.reshape(-1)
+    else:
+        packed = jnp.zeros(dc_codes.shape, jnp.uint32)
+        for g in range(2):
+            for k in range(16):
+                leaf = dc_luts[g, k].astype(jnp.uint32)
+                packed = packed | jnp.where((group == g) & (dcl == k),
+                                            leaf, jnp.uint32(0))
+    code = packed >> 16
+    clen = (packed & 0xFF).astype(jnp.int32)
+    dcl_u = dcl.astype(jnp.uint32)
+    dc_val = (code << dcl_u) | suffix
+    dc_len = (clen + dcl).astype(jnp.uint32)
+    return (dc_val << _DC_SHIFT) | dc_len
 
 
-def fields_to_words(run, size, code, nz, dc_code, group, dc_lut_ref,
-                    ac_lut_ref):
-    """VLC fields -> per-block packed words: the core shared by the
-    rl-input kernel and the fused coeff-input kernel (pallas_quant_pack).
+def build_meta_rows(dc_codes, group, dc_luts, tile, mw, n_images=1):
+    """Lane-packed per-block meta: [2 * N/mw, mw] int32 with per-tile
+    interleaving — each grid step's meta block holds tile//mw rows of
+    packed DC words followed by tile//mw rows of table groups."""
+    n = dc_codes.shape[0]
+    dc32 = dc_pack32(dc_codes, group, dc_luts, n_images)
+    tpm = tile // mw
+    a = dc32.astype(jnp.int32).reshape(n // tile, tpm, mw)
+    b = group.astype(jnp.int32).reshape(n // tile, tpm, mw)
+    return jnp.concatenate([a, b], axis=1).reshape(-1, mw)
 
-    run/size/code/nz: [T, 64] zigzag-order fields; dc_code/group: [T, 1].
+
+# ---------------------------------------------------------------------------
+# Kernel body (pure, shape-polymorphic; shared with tests)
+# ---------------------------------------------------------------------------
+
+
+def _split_entries(vals, lens, offs):
+    """Word-straddling hi/lo contributions of right-aligned entries."""
+    b = offs & 31
+    end = b + lens
+    active = lens > 0
+    sh_hi_l = jnp.clip(32 - end, 0, 31).astype(jnp.uint32)
+    sh_hi_r = jnp.clip(end - 32, 0, 31).astype(jnp.uint32)
+    sh_lo = jnp.clip(64 - end, 0, 31).astype(jnp.uint32)
+    hi = jnp.where(end <= 32, vals << sh_hi_l, vals >> sh_hi_r)
+    hi = jnp.where(active, hi, jnp.uint32(0)).astype(jnp.int32)
+    lo = jnp.where(end > 32, vals << sh_lo,
+                   jnp.uint32(0)).astype(jnp.int32)
+    return hi, lo, offs >> 5
+
+
+def _pack_words(T, wmax, sym_f, esc_thunk, any_esc, eob_f):
+    """Predicated-reduction word pack over one-block rows.
+
+    sym_f: (hi, lo, q) [T, 64] triples for the symbol entries;
+    esc_thunk: nullary returning the escape-field triples (traced only
+    inside the cond); eob_f: (hi, lo, q) [T, 1] for the EOB entry.
     """
-    T = run.shape[0]
+    lane64u = jax.lax.broadcasted_iota(jnp.int32, (T, WORDS), 1)
+
+    def word_loop(fields, init):
+        # fold every entry's straddling halves into one lane-doubled
+        # array (the lo half targets word q+1), so each word iteration is
+        # a single masked reduce instead of two per field
+        vals, qs = [], []
+        for hi, lo, q in fields:
+            vals.extend((hi, lo))
+            qs.extend((q, q + 1))
+        v2 = jnp.concatenate(vals, axis=1)
+        q2 = jnp.concatenate(qs, axis=1)
+
+        def word_step(w, words_acc):
+            acc = jnp.sum(jnp.where(q2 == w, v2, 0), axis=1,
+                          keepdims=True)
+            return words_acc | jnp.where(lane64u == w, acc,
+                                         0).astype(jnp.uint32)
+
+        # dynamic bound: only words below the tile's longest stream
+        return jax.lax.fori_loop(0, wmax, word_step, init)
+
+    words = word_loop([sym_f], jnp.zeros((T, WORDS), jnp.uint32))
+
+    # escape runs (>= 16 zeros) are rare: fold their two fields in only
+    # when the tile contains any, halving the word loop on typical tiles
+    words = jax.lax.cond(
+        any_esc, lambda ws: word_loop(list(esc_thunk()), ws),
+        lambda ws: ws, words)
+
+    # EOB: exactly one right-aligned entry per block at a known offset —
+    # OR it straight into its (at most two) words by lane match instead of
+    # carrying a third field through the word loop (bits are disjoint)
+    ehi, elo, eq = eob_f
+    words = words | jnp.where(lane64u == eq, ehi, 0).astype(jnp.uint32) \
+                  | jnp.where(lane64u == eq + 1, elo, 0).astype(jnp.uint32)
+    return words
+
+
+def paired_fields_to_words(run, size, code, nz, mdc, grp0, ac_lut_ref):
+    """VLC fields -> per-block packed words, paired-row layout.
+
+    run/size/code/nz: [R, 128] zigzag-order fields, two blocks per row
+    (block r in lanes 0-63, block r + R in lanes 64-127 of row r);
+    mdc: [2R, 1] int32 bit-pattern of packed (dc_value << 5 | dc_len);
+    grp0: [R, 128] luma-table mask; ac_lut_ref: indexable [2, 256]
+    packed-LUT scalars.  Returns ([2R, 64] words, [2R, 1] bit totals).
+    """
+    R = run.shape[0]
+    T = 2 * R
     code = code.astype(jnp.uint32)
-    grp0 = group == 0                      # [T, 1] bool
-    lane64 = jax.lax.broadcasted_iota(jnp.int32, (T, 64), 1)
+    gl = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    lane_ib = gl & 63
 
     # ---- Huffman lookups: masked accumulation over the symbol domain ----
     # masks are disjoint (sym == k), so OR composes the selects exactly;
@@ -125,7 +258,7 @@ def fields_to_words(run, size, code, nz, dc_code, group, dc_lut_ref,
     # dynamic size bound: only size classes present in the tile are
     # scanned.  Within a size class the 16 run nibbles resolve with two
     # grouped compares (run bit 3 rides in the compare key, run bits 0-2
-    # pick among 8 per-row leaf scalars through a select tree): ~20 whole
+    # pick among 8 per-lane leaf scalars through a select tree): ~20 whole
     # -tile ops per size class instead of 48 for 16 single-symbol selects
     smax = jnp.max(jnp.where(nz, size, 0))
     sym_g = (sym | 0x70).astype(jnp.int32)      # keep run bit 3 + size
@@ -157,18 +290,9 @@ def fields_to_words(run, size, code, nz, dc_code, group, dc_lut_ref,
     s_len = (ac_packed & 0xFF).astype(jnp.int32)
 
     esc = jnp.where(grp0, ac_lut_ref[0, 0xF0], ac_lut_ref[1, 0xF0])
-    esc_code = (esc >> 16).astype(jnp.uint32)      # [T, 1]
+    esc_code = (esc >> 16).astype(jnp.uint32)      # [R, 128]
     esc_len = (esc & 0xFF).astype(jnp.int32)
     eob = jnp.where(grp0, ac_lut_ref[0, 0x00], ac_lut_ref[1, 0x00])
-
-    dcl = dc_code & 0x0F
-
-    def dc_step(k, acc):
-        leaf = jnp.where(grp0, dc_lut_ref[0, k], dc_lut_ref[1, k])
-        return acc | jnp.where(dcl == k, leaf, jnp.uint32(0))
-
-    dc_packed = jax.lax.fori_loop(
-        0, jnp.max(dcl) + 1, dc_step, jnp.zeros_like(dcl).astype(jnp.uint32))
 
     # ---- per-position entry fields ----
     sym_val = (s_code << size.astype(jnp.uint32)) | code
@@ -184,87 +308,58 @@ def fields_to_words(run, size, code, nz, dc_code, group, dc_lut_ref,
     es_val = jnp.where(single == 1, esc_code, jnp.uint32(0))
     es_len = single * esc_len
 
-    # DC entry occupies the sym/val slot of position 0
-    dc_suffix = (dc_code >> 4).astype(jnp.uint32)
-    dc_val = ((dc_packed >> 16) << dcl.astype(jnp.uint32)) | dc_suffix
-    dc_len = (dc_packed & 0xFF).astype(jnp.int32) + dcl
-    first = lane64 == 0
-    sym_val = jnp.where(first, dc_val, sym_val)
-    sym_len = jnp.where(first, dc_len, sym_len)
-
-    # EOB is emitted after everything when the last nonzero isn't #63
-    # (escape fields at position 0 are already zero: nz excludes lane 0)
-    last = jnp.max(jnp.where(nz, lane64, 0), axis=1, keepdims=True)
-    has_eob = last < 63
+    # DC entry occupies the sym/val slot of lane 0 of each half; the
+    # (value, bit length) pair comes pre-looked-up in the meta word
+    mu = mdc.astype(jnp.uint32)
+    dv = mu >> _DC_SHIFT                              # [2R, 1]
+    dl = (mu & ((1 << _DC_SHIFT) - 1)).astype(jnp.int32)
+    dvA, dvB = dv[:R], dv[R:]
+    dlA, dlB = dl[:R], dl[R:]
+    first0 = gl == 0
+    first64 = gl == 64
+    sym_val = jnp.where(first0, dvA, jnp.where(first64, dvB, sym_val))
+    sym_len = jnp.where(first0, dlA, jnp.where(first64, dlB, sym_len))
 
     # ---- per-position bit offsets (the three sub-entries of a position
-    # emit in order: escape-pair, escape-single, symbol+value; position 0
-    # carries the DC entry in the sym field; EOB goes last) ----
-    pos_len = ep_len + es_len + sym_len             # [T, 64]
-    pos_off = _cumsum_lanes_exclusive(pos_len)
+    # emit in order: escape-pair, escape-single, symbol+value; lane 0 of
+    # each half carries the DC entry in the sym field; EOB goes last) ----
+    pos_len = ep_len + es_len + sym_len             # [R, 128]
+    pos_off = _cumsum_seg_exclusive(pos_len, 64)
     ep_off = pos_off
     es_off = pos_off + ep_len
     sym_off = es_off + es_len
-    total_no_eob = (jax.lax.slice_in_dim(pos_off, 63, 64, axis=1)
-                    + jax.lax.slice_in_dim(pos_len, 63, 64, axis=1))
-    eob_len = jnp.where(has_eob, eob & 0xFF, 0).astype(jnp.int32)  # [T, 1]
-    eob_val = jnp.where(has_eob, eob >> 16, 0).astype(jnp.uint32)
+
+    totA = pos_off[:, 63:64] + pos_len[:, 63:64]    # [R, 1]
+    totB = pos_off[:, 127:128] + pos_len[:, 127:128]
+    # inclusive cummax of nonzero lanes with a per-half base sentinel at
+    # lane 0 -> the value at each half's last lane is base + last nonzero
+    lastnz = _cummax_lanes(
+        jnp.where(nz, gl, jnp.where(lane_ib == 0, gl, 0)))
+    lastA = lastnz[:, 63:64]
+    lastB = lastnz[:, 127:128] - 64
+    # EOB is emitted after everything when the last nonzero isn't #63
+    hA, hB = lastA < 63, lastB < 63
+    eobA, eobB = eob[:, 0:1], eob[:, 64:65]
+    eob_len = jnp.concatenate(
+        [jnp.where(hA, eobA & 0xFF, 0), jnp.where(hB, eobB & 0xFF, 0)],
+        axis=0).astype(jnp.int32)                   # [2R, 1]
+    eob_val = jnp.concatenate(
+        [jnp.where(hA, eobA >> 16, 0), jnp.where(hB, eobB >> 16, 0)],
+        axis=0).astype(jnp.uint32)
+    total_no_eob = jnp.concatenate([totA, totB], axis=0)
     total = total_no_eob + eob_len
 
-    def split(vals, lens, offs):
-        """Word-straddling hi/lo contributions of right-aligned entries."""
-        b = offs & 31
-        end = b + lens
-        active = lens > 0
-        sh_hi_l = jnp.clip(32 - end, 0, 31).astype(jnp.uint32)
-        sh_hi_r = jnp.clip(end - 32, 0, 31).astype(jnp.uint32)
-        sh_lo = jnp.clip(64 - end, 0, 31).astype(jnp.uint32)
-        hi = jnp.where(end <= 32, vals << sh_hi_l, vals >> sh_hi_r)
-        hi = jnp.where(active, hi, jnp.uint32(0)).astype(jnp.int32)
-        lo = jnp.where(end > 32, vals << sh_lo,
-                       jnp.uint32(0)).astype(jnp.int32)
-        return hi, lo, offs >> 5
-
-    lane64u = lane64
-
-    def word_loop(fields, init):
-        # fold every entry's straddling halves into one lane-doubled
-        # array (the lo half targets word q+1), so each word iteration is
-        # a single masked reduce instead of two per field
-        vals, qs = [], []
-        for hi, lo, q in fields:
-            vals.extend((hi, lo))
-            qs.extend((q, q + 1))
-        v2 = jnp.concatenate(vals, axis=1)
-        q2 = jnp.concatenate(qs, axis=1)
-
-        def word_step(w, words_acc):
-            acc = jnp.sum(jnp.where(q2 == w, v2, 0), axis=1,
-                          keepdims=True)
-            return words_acc | jnp.where(lane64u == w, acc,
-                                         0).astype(jnp.uint32)
-
-        # dynamic bound: only words below the tile's longest stream
-        return jax.lax.fori_loop(0, wmax, word_step, init)
-
+    # ---- unpair to one-block rows for the word-pack reduction ----
+    sym_f = tuple(_unpaired(a) for a in
+                  _split_entries(sym_val, sym_len, sym_off))
+    esc_thunk = lambda: (
+        tuple(_unpaired(a) for a in _split_entries(ep_val, ep_len, ep_off)),
+        tuple(_unpaired(a) for a in _split_entries(es_val, es_len, es_off)),
+    )
+    eob_f = _split_entries(eob_val, eob_len, total_no_eob)
     wmax = (jnp.max(total) + 31) >> 5
-    words = word_loop([split(sym_val, sym_len, sym_off)],
-                      jnp.zeros((T, WORDS), jnp.uint32))
-
-    # escape runs (>= 16 zeros) are rare: fold their two fields in only
-    # when the tile contains any, halving the word loop on typical tiles
-    words = jax.lax.cond(
-        jnp.any(n_esc > 0),
-        lambda ws: word_loop([split(ep_val, ep_len, ep_off),
-                              split(es_val, es_len, es_off)], ws),
-        lambda ws: ws, words)
-
-    # EOB: exactly one right-aligned entry per block at a known offset —
-    # OR it straight into its (at most two) words by lane match instead of
-    # carrying a third field through the word loop (bits are disjoint)
-    ehi, elo, eq = split(eob_val, eob_len, total_no_eob)
-    words = words | jnp.where(lane64u == eq, ehi, 0).astype(jnp.uint32) \
-                  | jnp.where(lane64u == eq + 1, elo, 0).astype(jnp.uint32)
+    words = _pack_words(T, wmax, sym_f, esc_thunk,
+                        jnp.any(n_esc > 0), eob_f)
     return words, total
 
 
@@ -278,16 +373,46 @@ class _DropLead:
         return self._ref[(0,) + tuple(idx)]
 
 
-def _vlc_pack_kernel_sets(run_ref, size_ref, code_ref, meta_ref,
-                          dc_lut_ref, ac_lut_ref, words_ref, total_ref):
-    """Per-image-LUT variant: LUT refs carry a leading singleton dim
-    (the image slice picked by the BlockSpec index map)."""
-    dc, group = unpack_block_meta(cols_from_lanes(meta_ref[:]))
-    words, total = _vlc_pack_body(
-        run_ref[:], size_ref[:], code_ref[:], dc, group,
-        _DropLead(dc_lut_ref), _DropLead(ac_lut_ref))
+def meta_split(meta_ref, tpm, R):
+    """Kernel-side meta unpack: [2*tpm, mw] rows -> ([2R, 1] packed DC
+    column, [R, 128] luma-group mask)."""
+    mdc = cols_from_lanes(meta_ref[0:tpm])          # [2R, 1]
+    grp = cols_from_lanes(meta_ref[tpm:2 * tpm])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    grp0 = jnp.where(lane < 64, grp[:R] == 0, grp[R:] == 0)
+    return mdc, grp0
+
+
+def _vlc_pack_kernel(run_ref, size_ref, code_ref, meta_ref,
+                     ac_lut_ref, words_ref, total_ref, *, tpm):
+    run = _paired(run_ref[:])
+    size = _paired(size_ref[:])
+    code = _paired(code_ref[:])
+    R = run.shape[0]
+    mdc, grp0 = meta_split(meta_ref, tpm, R)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    nz = (size > 0) & ((lane & 63) > 0)
+    words, total = paired_fields_to_words(run, size, code, nz, mdc,
+                                          grp0, ac_lut_ref)
     words_ref[:] = words
-    total_ref[:] = lanes_from_cols(total, meta_ref.shape[1])
+    total_ref[:] = lanes_from_cols(total, total_ref.shape[1])
+
+
+def _vlc_pack_kernel_sets(run_ref, size_ref, code_ref, meta_ref,
+                          ac_lut_ref, words_ref, total_ref, *, tpm):
+    """Per-image-LUT variant: LUT ref carries a leading singleton dim
+    (the image slice picked by the BlockSpec index map)."""
+    run = _paired(run_ref[:])
+    size = _paired(size_ref[:])
+    code = _paired(code_ref[:])
+    R = run.shape[0]
+    mdc, grp0 = meta_split(meta_ref, tpm, R)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    nz = (size > 0) & ((lane & 63) > 0)
+    words, total = paired_fields_to_words(run, size, code, nz, mdc,
+                                          grp0, _DropLead(ac_lut_ref))
+    words_ref[:] = words
+    total_ref[:] = lanes_from_cols(total, total_ref.shape[1])
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "tiles_per_img"))
@@ -321,38 +446,41 @@ def vlc_pack_pallas(run, size, code, dc_codes, group, dc_luts, ac_luts,
     # give an (8, 64) block at the production tile; tiny test tiles fall
     # back to one row per block (interpret mode does not enforce tiling)
     mw = 64 if tile % 512 == 0 else tile
-    meta = pack_block_meta(dc_codes, group).reshape(NP // mw, mw)
+    tpm = tile // mw
+    n_images = dc_luts.shape[0] if dc_luts.ndim == 3 else 1
+    meta = build_meta_rows(dc_codes, group, dc_luts, tile, mw, n_images)
 
     spec64 = pl.BlockSpec((tile, 64), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec_meta = pl.BlockSpec((tile // mw, mw), lambda i: (i, 0),
+    spec_meta = pl.BlockSpec((2 * tpm, mw), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
+    spec_tot = pl.BlockSpec((tpm, mw), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     if tiles_per_img:
         assert dc_luts.ndim == 3 and NP // tile == \
-            dc_luts.shape[0] * tiles_per_img
+            n_images * tiles_per_img
         t = tiles_per_img
-        lut_spec = lambda shape: pl.BlockSpec(
-            (1,) + shape, lambda i, t=t: (i // t, 0, 0),
+        lut_spec = pl.BlockSpec(
+            (1, 2, 256), lambda i, t=t: (i // t, 0, 0),
             memory_space=pltpu.SMEM)
-        kernel = _vlc_pack_kernel_sets
+        kernel = functools.partial(_vlc_pack_kernel_sets, tpm=tpm)
     else:
-        lut_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                              memory_space=pltpu.SMEM)
-        kernel = _vlc_pack_kernel
+        lut_spec = pl.BlockSpec((2, 256), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        kernel = functools.partial(_vlc_pack_kernel, tpm=tpm)
     words, totals = pl.pallas_call(
         kernel,
         grid=(NP // tile,),
-        in_specs=[spec64, spec64, spec64, spec_meta,
-                  lut_spec((2, 16)), lut_spec((2, 256))],
+        in_specs=[spec64, spec64, spec64, spec_meta, lut_spec],
         out_specs=(
             pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            spec_meta,
+            spec_tot,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((NP, WORDS), jnp.uint32),
             jax.ShapeDtypeStruct((NP // mw, mw), jnp.int32),
         ),
     )(run, size, code.astype(jnp.int32), meta,
-      dc_luts.astype(jnp.uint32), ac_luts.astype(jnp.uint32))
+      ac_luts.astype(jnp.uint32))
     return words[:N], totals.reshape(-1)[:N]
