@@ -77,9 +77,13 @@ def _paired(x):
 
 def _unpaired(x):
     """[R, 2C] paired rows -> [2R, C] one-block rows (inverse of
-    `_paired`)."""
+    `_paired`).  The high half is brought to lane offset 0 with a full
+    -width rotate before slicing: a bare x[:, half:] slice keeps lane
+    offset `half` in its Mosaic layout, and concatenating it with the
+    offset-0 low half on dim 0 fails to compile."""
     half = x.shape[1] // 2
-    return jnp.concatenate([x[:, :half], x[:, half:]], axis=0)
+    hi = jnp.roll(x, -half, axis=1)
+    return jnp.concatenate([x[:, :half], hi[:, :half]], axis=0)
 
 
 def _cumsum_seg_exclusive(x, seg):
@@ -329,17 +333,26 @@ def paired_fields_to_words(run, size, code, nz, mdc, grp0, ac_lut_ref):
     es_off = pos_off + ep_len
     sym_off = es_off + es_len
 
-    totA = pos_off[:, 63:64] + pos_len[:, 63:64]    # [R, 1]
-    totB = pos_off[:, 127:128] + pos_len[:, 127:128]
+    # columns are extracted with masked lane-reductions, not lane slices:
+    # a [R, 1] slice keeps its source lane offset in its Mosaic layout and
+    # concatenating offset-63 with offset-127 columns fails to compile
+    def _col(x, k):
+        return jnp.sum(jnp.where(gl == k, x.astype(jnp.int32), 0),
+                       axis=1, keepdims=True)
+
+    tot_incl = pos_off + pos_len
+    totA = _col(tot_incl, 63)                       # [R, 1]
+    totB = _col(tot_incl, 127)
     # inclusive cummax of nonzero lanes with a per-half base sentinel at
     # lane 0 -> the value at each half's last lane is base + last nonzero
     lastnz = _cummax_lanes(
         jnp.where(nz, gl, jnp.where(lane_ib == 0, gl, 0)))
-    lastA = lastnz[:, 63:64]
-    lastB = lastnz[:, 127:128] - 64
+    lastA = _col(lastnz, 63)
+    lastB = _col(lastnz, 127) - 64
     # EOB is emitted after everything when the last nonzero isn't #63
     hA, hB = lastA < 63, lastB < 63
-    eobA, eobB = eob[:, 0:1], eob[:, 64:65]
+    eobA = _col(eob, 0).astype(jnp.uint32)
+    eobB = _col(eob, 64).astype(jnp.uint32)
     eob_len = jnp.concatenate(
         [jnp.where(hA, eobA & 0xFF, 0), jnp.where(hB, eobB & 0xFF, 0)],
         axis=0).astype(jnp.int32)                   # [2R, 1]
@@ -379,7 +392,9 @@ def meta_split(meta_ref, tpm, R):
     mdc = cols_from_lanes(meta_ref[0:tpm])          # [2R, 1]
     grp = cols_from_lanes(meta_ref[tpm:2 * tpm])
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
-    grp0 = jnp.where(lane < 64, grp[:R] == 0, grp[R:] == 0)
+    # select in the int domain, compare after: a select over i1 vectors
+    # lowers to an i8->i1 trunci Mosaic can't compile at tile shapes
+    grp0 = jnp.where(lane < 64, grp[:R], grp[R:]) == 0
     return mdc, grp0
 
 
