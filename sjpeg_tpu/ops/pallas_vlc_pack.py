@@ -38,7 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_pack import _cumsum_lanes_exclusive
 
 WORDS = 64
-DEFAULT_TILE = 512
+# 1024 amortizes the per-grid-step fixed cost (scalar reductions for the
+# dynamic loop bounds + DMA setup); measured faster than 512 on the chip
+# (scripts/r2_experiments.py kernel)
+DEFAULT_TILE = 1024
 LANE = 128
 
 
