@@ -393,12 +393,16 @@ def _encode_core_body(src, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
     entry concat used to force a transposed relayout that dominated the
     whole program).
     """
-    if src_kind == "planes":
-        blocks = colorspace.planes_to_blocks(src, yuv_mode, width, height)
-    else:
-        blocks = colorspace.rgb_to_blocks(src, yuv_mode, width, height)
-
     on_tpu = jax.default_backend() != "cpu"
+    # centered samples fit int8; blockizing in int8 quarters the layout
+    # copies feeding the samples-in kernel
+    bdt = jnp.int8 if on_tpu else jnp.int32
+    if src_kind == "planes":
+        blocks = colorspace.planes_to_blocks(src, yuv_mode, width, height,
+                                             out_dtype=bdt)
+    else:
+        blocks = colorspace.rgb_to_blocks(src, yuv_mode, width, height,
+                                          out_dtype=bdt)
     if on_tpu:
         # samples go straight into the fused Pallas kernel (in-kernel
         # fDCT): the [N, 64] coefficient plane never reaches HBM

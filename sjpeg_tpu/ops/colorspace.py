@@ -110,7 +110,7 @@ def rgb_to_yuv420_planes(rgb):
 
 def _block_avg(block):
     """Rounded mean of 8x8 blocks over the last axis: (sum + 32) >> 6."""
-    return (block.sum(axis=-1) + 32) >> 6
+    return (block.astype(jnp.int32).sum(axis=-1) + 32) >> 6
 
 
 def average_extra_luma(y_blocks, mb_w: int, mb_h: int, width: int,
@@ -138,15 +138,17 @@ def average_extra_luma(y_blocks, mb_w: int, mb_h: int, width: int,
         """mcu: [..., 4, 64]; sw/sh static sub-sizes of these MCUs."""
         b0, b1 = mcu[..., 0, :], mcu[..., 1, :]
         b2, b3 = mcu[..., 2, :], mcu[..., 3, :]
-        dc = _block_avg(b0)[..., None]
+        dc = _block_avg(b0)[..., None].astype(mcu.dtype)
         if sw <= 8:
             b1 = jnp.broadcast_to(dc, b1.shape)
         if sh <= 8:
-            dc2 = _block_avg(b1)[..., None] if sw > 8 else dc
+            dc2 = (_block_avg(b1)[..., None].astype(mcu.dtype)
+                   if sw > 8 else dc)
             b2 = jnp.broadcast_to(dc2, b2.shape)
             b3 = jnp.broadcast_to(dc2, b3.shape)
         elif sw <= 8:
-            b3 = jnp.broadcast_to(_block_avg(b2)[..., None], b3.shape)
+            b3 = jnp.broadcast_to(
+                _block_avg(b2)[..., None].astype(mcu.dtype), b3.shape)
         return jnp.stack([b0, b1, b2, b3], axis=-2)
 
     if x_clip:
@@ -165,46 +167,50 @@ def average_extra_luma(y_blocks, mb_w: int, mb_h: int, width: int,
     return yb.reshape(-1, 64)
 
 
-def rgb_to_blocks(rgb, yuv_mode: int, width: int, height: int):
-    """Device layout: RGB [..., H, W, 3] -> list of [N_c, 64] int32 arrays.
+def rgb_to_blocks(rgb, yuv_mode: int, width: int, height: int,
+                  out_dtype=jnp.int32):
+    """Device layout: RGB [..., H, W, 3] -> list of [N_c, 64] arrays.
 
     With a leading batch dim, each component array concatenates the images'
     blocks in batch order (image-major, then component scan order).
+    Centered samples fit int8 exactly; `out_dtype=jnp.int8` casts each
+    plane *before* the blockize transposes so those relayout copies move
+    a quarter of the bytes (the fused samples-in kernel takes int8).
     """
+    cast = lambda p: p.astype(out_dtype)
     if yuv_mode == C.YUV_444:
         img = pad_edge(rgb, 8, 8)
         y, u, v = rgb_to_yuv444_planes(img)
-        return [blockize(y), blockize(u), blockize(v)]
+        return [blockize(cast(y)), blockize(cast(u)), blockize(cast(v))]
     if yuv_mode == C.YUV_420:
         img = pad_edge(rgb, 16, 16)
         y, u, v = rgb_to_yuv420_planes(img)
         mb_w = img.shape[-2] // 16
         mb_h = img.shape[-3] // 16
-        yb = blockize_420_luma(y)
+        yb = blockize_420_luma(cast(y))
         yb = average_extra_luma(yb, mb_w, mb_h, width, height)
-        return [yb, blockize(u), blockize(v)]
+        return [yb, blockize(cast(u)), blockize(cast(v))]
     if yuv_mode == C.YUV_400:
         img = pad_edge(rgb, 8, 8)
-        return [blockize(rgb_to_y_plane(img))]
+        return [blockize(cast(rgb_to_y_plane(img)))]
     raise ValueError(f"unsupported yuv_mode {yuv_mode}")
 
 
-def planes_to_blocks(planes, yuv_mode: int, width: int, height: int):
+def planes_to_blocks(planes, yuv_mode: int, width: int, height: int,
+                     out_dtype=jnp.int32):
     """Planar YUV/gray input [..., H, W] -> component block lists (-128)."""
+    cast = lambda p: (pad_edge(p, 8, 8).astype(jnp.int32)
+                      - 128).astype(out_dtype)
     if yuv_mode == C.YUV_400:
-        y = pad_edge(planes[0], 8, 8).astype(jnp.int32) - 128
-        return [blockize(y)]
+        return [blockize(cast(planes[0]))]
     if yuv_mode == C.YUV_444:
-        return [blockize(pad_edge(p, 8, 8).astype(jnp.int32) - 128)
-                for p in planes]
+        return [blockize(cast(p)) for p in planes]
     if yuv_mode == C.YUV_420:
         y, u, v = planes
-        yp = pad_edge(y, 16, 16).astype(jnp.int32) - 128
+        yp = (pad_edge(y, 16, 16).astype(jnp.int32) - 128).astype(out_dtype)
         mb_w = yp.shape[-1] // 16
         mb_h = yp.shape[-2] // 16
         yb = blockize_420_luma(yp)
         yb = average_extra_luma(yb, mb_w, mb_h, width, height)
-        ub = blockize(pad_edge(u, 8, 8).astype(jnp.int32) - 128)
-        vb = blockize(pad_edge(v, 8, 8).astype(jnp.int32) - 128)
-        return [yb, ub, vb]
+        return [yb, blockize(cast(u)), blockize(cast(v))]
     raise ValueError(f"unsupported yuv_mode {yuv_mode}")

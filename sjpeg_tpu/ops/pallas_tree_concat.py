@@ -32,6 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_vlc_pack import cols_from_lanes, lanes_from_cols
+
 WORDS = 64                   # words per block stream (level-0 unit)
 
 
@@ -106,6 +108,96 @@ def _make_merge2_kernel(w: int, out_w: int):
     return kernel
 
 
+def _dotf(x, m):
+    return jax.lax.dot_general(x, m, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _sel_matmul(lb, sel, passes: int):
+    """Exact int32 `lb @ sel` for a 0/1 selection matrix: split lb into
+    8-bit parts (bf16-exact) and run `passes` default-precision MXU
+    passes, recombined in int32 (same scheme as pallas_fdct._imatmul)."""
+    acc = None
+    for p in range(passes):
+        part = ((lb >> (8 * p)) & 0xFF).astype(jnp.float32)
+        r = _dotf(part, sel).astype(jnp.int32) << (8 * p)
+        acc = r if acc is None else acc + r
+    return acc
+
+
+def _make_merge4_kernel_ll(w: int, out_w: int, mw_out: int, passes: int):
+    """Radix-4 merge kernel with lane-packed lens I/O: lens arrive as
+    [R*4/mw_in, mw_in] rows (unit-order flat) instead of a [R, 4] block —
+    [*, 4]-shaped HBM arrays tile to (8, 128) on TPU (32x inflated) and
+    XLA materializes them through multi-ms strided async-slice chains.
+    In-kernel the four per-slot columns are regrouped with one-hot MXU
+    matmuls and transposed to sublanes; totals leave lane-packed the same
+    way (mw_out lanes) for the next level."""
+
+    def kernel(units_ref, lens_ref, out_ref, lout_ref):
+        x = units_ref[:]                       # [R, 4w] uint32
+        lb = lens_ref[:]                       # [rows_b, mw_in] int32
+        mw_in = lb.shape[1]
+        per = mw_in // 4
+        i0 = jax.lax.broadcasted_iota(jnp.int32, (mw_in, per), 0)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (mw_in, per), 1)
+        cols = []
+        for k in range(4):
+            sel = (i0 == 4 * i1 + k).astype(jnp.float32)
+            g = _sel_matmul(lb, sel, passes)   # [rows_b, per], slot k
+            cols.append(cols_from_lanes(g))    # [R, 1]
+        l0, l1, l2, l3 = cols
+        m0 = _merge2(jax.lax.slice_in_dim(x, 0, 2 * w, axis=1), l0, w)
+        m1 = _merge2(jax.lax.slice_in_dim(x, 2 * w, 4 * w, axis=1), l2, w)
+        y = jnp.concatenate([m0, m1], axis=1)  # [R, 4w]
+        m = _merge2(y, l0 + l1, 2 * w)
+        out_ref[:] = (m if out_w == 4 * w
+                      else jax.lax.slice_in_dim(m, 0, out_w, axis=1))
+        lout_ref[:] = lanes_from_cols(l0 + l1 + l2 + l3, mw_out)
+
+    return kernel
+
+
+def _level_tile_rows(rows: int, lanes: int) -> int:
+    """Rows per grid step: ~4 MB unit tiles within the Mosaic block rule
+    (sublane dim divisible by 8, or equal to the array's)."""
+    if rows % 8 or rows <= 8:
+        return rows
+    max_r = max(8, (1 << 20) // (lanes * 4))
+    R = 8
+    while R * 2 <= max_r and rows % (R * 2) == 0:
+        R *= 2
+    return R
+
+
+def _merge_level_ll(units, lens_packed, w: int, out_w: int, R: int,
+                    mw_out: int, passes: int):
+    """Radix-4 tree level with lane-packed lens: [rows, 4w] units +
+    [rows*4/mw_in, mw_in] lens -> ([rows, out_w], [rows/mw_out, mw_out])."""
+    rows, lanes = units.shape
+    mw_in = lens_packed.shape[1]
+    spec_u = pl.BlockSpec((R, lanes), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_l = pl.BlockSpec((R * 4 // mw_in, mw_in), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    out, lout = pl.pallas_call(
+        _make_merge4_kernel_ll(w, out_w, mw_out, passes),
+        grid=(rows // R,),
+        in_specs=[spec_u, spec_l],
+        out_specs=(
+            pl.BlockSpec((R, out_w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R // mw_out, mw_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, out_w), jnp.uint32),
+            jax.ShapeDtypeStruct((rows // mw_out, mw_out), jnp.int32),
+        ),
+    )(units, lens_packed)
+    return out, lout
+
+
 def _merge_level(units, lens, w: int, radix: int, out_w: int):
     """One tree level: [M, radix*w] rows (+ per-unit lens [M, radix]) ->
     ([M, out_w] merged rows, [M] total bits).  The whole lens block
@@ -116,16 +208,7 @@ def _merge_level(units, lens, w: int, radix: int, out_w: int):
     the image for the slow path."""
     M = units.shape[0]
     lanes = radix * w
-    # Mosaic block rule: sublane dim divisible by 8, or equal to the
-    # array's. Tile targets ~2 MB; caller stops the tree before lanes
-    # grow past VMEM reach.
-    if M % 8 or M <= 8:
-        R = M
-    else:
-        max_r = max(8, (1 << 19) // (lanes * 4))
-        R = 8
-        while R * 2 <= max_r and M % (R * 2) == 0:
-            R *= 2
+    R = _level_tile_rows(M, lanes)
     spec_u = pl.BlockSpec((R, lanes), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     spec_l = pl.BlockSpec((R, radix), lambda i: (i, 0),
@@ -225,28 +308,63 @@ def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int,
                            ((0, 0), (0, pad))).reshape(-1)
 
     units = words
+    # lens carrier: 1-D [n_units] (carrier_mw == 0) or lane-packed
+    # [n_units/carrier_mw, carrier_mw]; both flatten to unit order for
+    # free (row-major bitcasts), so transitions between the packed and
+    # legacy level kernels never relayout big arrays
     lens = bit_lens.astype(jnp.int32)
+    carrier_mw = 0
     w = W
     n_units = n_images * u
     level = 0
+    max_bits = W * 32                # upper bound on any unit's bit count
     overflow = jnp.zeros((n_images,), jnp.bool_)
-    while n_units > n_images and w < W_STOP:
+    while n_units > n_images:
         per = n_units // n_images                    # units per image
         radix = (4 if per % 4 == 0 and per >= 4 and w * 4 <= W_STOP
                  else 2)
+        if per % radix:
+            break                                    # finisher handles it
+        # past W_STOP, only a tree-completing pair merge is worth the
+        # wider tiles; anything else goes to the XLA scan finisher
+        if w >= W_STOP and not (radix == 2 and per == 2):
+            break
+        # VMEM guard: an 8-row in+out tile must stay ~4 MB
+        if (radix * w + radix * w) * 4 * 8 > (1 << 22):
+            break
         rows = n_units // radix
-        units = units.reshape(rows, radix * w)
-        lens = lens.reshape(rows, radix)
         out_w = radix * w
         if sliced and radix == 4 and level < SLICED_LEVELS:
             out_w = 2 * w
-        units, lens_row = _merge_level(units, lens, w, radix, out_w)
-        if out_w < radix * w:
-            ov = (lens_row > out_w * 32).reshape(n_images, -1).any(axis=1)
-            overflow = overflow | ov
+        R = _level_tile_rows(rows, radix * w)
+        # lane-packed lens path: big radix-4 levels only (R >= 256 keeps
+        # every lens block's sublane count a multiple of 8 and mw >= 32)
+        mw_in = carrier_mw or 128
+        use_ll = (radix == 4 and R >= 256 and max_bits < (1 << 16)
+                  and (carrier_mw or n_units % 128 == 0))
+        if use_ll:
+            lens_p = lens if carrier_mw else lens.reshape(-1, 128)
+            mw_out = min(128, R // 8)
+            passes = (max_bits.bit_length() + 7) // 8
+            units, lens = _merge_level_ll(
+                units.reshape(rows, radix * w), lens_p, w, out_w, R,
+                mw_out, passes)
+            carrier_mw = mw_out
+            if out_w < radix * w:
+                ov = (lens > out_w * 32).reshape(n_images, -1).any(axis=1)
+                overflow = overflow | ov
+        else:
+            lens2 = (lens.reshape(-1) if carrier_mw else lens)
+            lens2 = lens2.reshape(rows, radix)
+            units, lens = _merge_level(units.reshape(rows, radix * w),
+                                       lens2, w, radix, out_w)
+            carrier_mw = 0
+            if out_w < radix * w:
+                ov = (lens > out_w * 32).reshape(n_images, -1).any(axis=1)
+                overflow = overflow | ov
         w = out_w
         n_units = rows
-        lens = lens_row.reshape(-1)
+        max_bits *= radix
         level += 1
 
     if n_units == n_images:
