@@ -3,11 +3,13 @@
 Builds reduced variants of the samples-in kernel (same tiles/specs) that
 stop after successive stages, so per-stage cost on real hardware can be
 attributed: fdct -> quantize -> fields/offsets -> LUT -> word pack.
+The stage bodies are the production functions (pallas_fdct.fdct_body,
+pallas_quant_pack._quantize/derive_fields, pallas_vlc_pack.ac_lut_lookup),
+so the timings cannot drift from the real kernel as it evolves.
 """
 import functools
 import os
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -22,11 +24,9 @@ from jax.experimental.pallas import tpu as pltpu
 from r2_experiments import _kernel_inputs, timeit
 from sjpeg_tpu.ops import pallas_fdct, pallas_quant_pack as pqp
 from sjpeg_tpu.ops import pallas_vlc_pack as pvp
-from sjpeg_tpu.ops.pallas_vlc_pack import (LANE, WORDS, _cummax_lanes,
-                                           _paired, _unpaired,
-                                           _split_entries, _pack_words,
-                                           _cumsum_seg_exclusive,
-                                           lanes_from_cols, meta_split)
+from sjpeg_tpu.ops.pallas_vlc_pack import (LANE, WORDS, ac_lut_lookup,
+                                           _paired, lanes_from_cols,
+                                           meta_split)
 
 
 def make_variant(stage):
@@ -36,75 +36,26 @@ def make_variant(stage):
         R = xp.shape[0]
         T = 2 * R
         mdc, grp0 = meta_split(meta_ref, tpm, R)
+
+        def emit(tot):
+            words_ref[:] = jnp.zeros((T, WORDS), jnp.uint32)
+            total_ref[:] = lanes_from_cols(
+                jnp.concatenate([tot, tot], 0), total_ref.shape[1])
+
         zz = pallas_fdct.fdct_body(xp, fa_ref, fpcb_ref, fpozz_ref, fkv_ref)
         if stage == "fdct":
-            words_ref[:] = jnp.zeros((T, WORDS), jnp.uint32)
-            tot = jnp.sum(jnp.abs(zz), axis=1, keepdims=True)
-            total_ref[:] = lanes_from_cols(
-                jnp.concatenate([tot, tot], 0), total_ref.shape[1])
-            return
+            return emit(jnp.sum(jnp.abs(zz), axis=1, keepdims=True))
         q = pqp._quantize(zz, grp0, iquant_ref, ibias_ref)
         if stage == "quant":
-            words_ref[:] = jnp.zeros((T, WORDS), jnp.uint32)
-            tot = jnp.sum(jnp.abs(q), axis=1, keepdims=True)
-            total_ref[:] = lanes_from_cols(
-                jnp.concatenate([tot, tot], 0), total_ref.shape[1])
-            return
-        # --- fields (run/size/code) ---
-        gl = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
-        lane_ib = gl & 63
-        nz = (q != 0) & (lane_ib > 0)
-        m = jnp.abs(q)
-        size = jnp.where(nz, pqp._calc_log2(jnp.maximum(m, 1)), 0)
-        neg = jnp.where(q < 0, -1, 0)
-        code = (m ^ neg) & ((1 << size) - 1)
-        prev = _cummax_lanes(jnp.where(nz, gl, jnp.where(lane_ib == 0, gl, 0)))
-        prev_before = jnp.concatenate(
-            [jnp.zeros((R, 1), jnp.int32), prev[:, :-1]], axis=1)
-        run = jnp.where(nz, gl - prev_before - 1, 0)
+            return emit(jnp.sum(jnp.abs(q), axis=1, keepdims=True))
+        run, size, code, nz = pqp.derive_fields(q)
         if stage == "fields":
-            words_ref[:] = jnp.zeros((T, WORDS), jnp.uint32)
-            tot = jnp.sum(run + size + code, axis=1, keepdims=True)
-            total_ref[:] = lanes_from_cols(
-                jnp.concatenate([tot, tot], 0), total_ref.shape[1])
-            return
-        code_u = code.astype(jnp.uint32)
-        sym = ((run & 15) << 4) | size
-        smax = jnp.max(jnp.where(nz, size, 0))
-        sym_g = (sym | 0x70).astype(jnp.int32)
-        b4 = (sym & 0x10) != 0
-        b5 = (sym & 0x20) != 0
-        b6 = (sym & 0x40) != 0
-
-        def lut_step(i, acc):
-            s_cls = i + 1
-            for g in range(2):
-                leaves = []
-                for j in range(8):
-                    k = (((g << 3) | j) << 4 | s_cls).astype(jnp.int32)
-                    leaves.append(jnp.where(grp0, ac_lut_ref[0, k],
-                                            ac_lut_ref[1, k]))
-                t01 = jnp.where(b4, leaves[1], leaves[0])
-                t23 = jnp.where(b4, leaves[3], leaves[2])
-                t45 = jnp.where(b4, leaves[5], leaves[4])
-                t67 = jnp.where(b4, leaves[7], leaves[6])
-                sel = jnp.where(b6, jnp.where(b5, t67, t45),
-                                jnp.where(b5, t23, t01))
-                key = (g << 7) | 0x70 | s_cls
-                acc = acc | jnp.where(sym_g == key, sel, jnp.uint32(0))
-            return acc
-
-        ac_packed = jax.lax.fori_loop(
-            0, smax, lut_step, jnp.zeros_like(sym).astype(jnp.uint32))
-        s_code = (ac_packed >> 16).astype(jnp.uint32)
-        s_len = (ac_packed & 0xFF).astype(jnp.int32)
+            return emit(jnp.sum(run + size + code, axis=1, keepdims=True))
+        ac_packed = ac_lut_lookup(run, size, nz, grp0, ac_lut_ref)
         if stage == "lut":
-            words_ref[:] = jnp.zeros((T, WORDS), jnp.uint32)
-            tot = jnp.sum(s_code.astype(jnp.int32) + s_len, axis=1,
-                          keepdims=True)
-            total_ref[:] = lanes_from_cols(
-                jnp.concatenate([tot, tot], 0), total_ref.shape[1])
-            return
+            s_code = (ac_packed >> 16).astype(jnp.int32)
+            s_len = (ac_packed & 0xFF).astype(jnp.int32)
+            return emit(jnp.sum(s_code + s_len, axis=1, keepdims=True))
         raise ValueError(stage)
 
     return kernel
@@ -113,7 +64,12 @@ def make_variant(stage):
 def run_variant(stage, sinter, dc_codes, group, iq, ib, dcl, acl,
                 tile=1024):
     N = sinter.shape[0]
-    NP = N
+    rem = (-N) % tile
+    if rem:                       # pad to whole tiles like the real kernel
+        sinter = jnp.pad(sinter, ((0, rem), (0, 0)))
+        dc_codes = jnp.pad(dc_codes, (0, rem))
+        group = jnp.pad(group, (0, rem))
+    NP = N + rem
     A, PCB, POZZ, KV = pallas_fdct.fdct_matrices(zigzag_out=True,
                                                  paired=True)
     iq2 = pqp._tile_lanes(pqp._to_zigzag_lanes(iq))

@@ -157,19 +157,27 @@ def _interleave_coeffs(coeffs, iquant, ibias, nb_blocks, n_images=1):
     return cinter, dc_codes, group
 
 
-def _interleave_samples(blocks, iquant, ibias, nb_blocks, n_images=1):
+def _interleave_samples(blocks, iquant, ibias, nb_blocks, n_images=1,
+                        chroma_wrap: bool = False):
     """MCU-interleave raw sample blocks for the samples-in fused kernel
     (which runs the fDCT in VMEM), plus per-block DC diff codes and table
     groups.  The DC coefficient alone is computed here via the collapsed
     fDCT chain (ops/pallas_fdct.fdct_dc) — the predictor diff
     (src/enc.cc:482-499) is a cross-block chain that must precede the
-    per-tile kernel."""
+    per-tile kernel.
+
+    `chroma_wrap` must be True for RGB-derived sources: their chroma
+    spans [-127, +128] (reference keeps unclamped int16, src/colors_rgb.cc
+    ToU/ToUV), so the int8 transport wraps +128 to -128; the kernel (and
+    the DC chain here) decode it back.  Planar sources pass False — their
+    chroma legitimately reaches -128 and never +128."""
     from .ops import pallas_fdct
 
     mcu_blocks = sum(nb_blocks)
     n_mcu = blocks[0].shape[0] // nb_blocks[0]
-    # centered samples fit int8 exactly: the interleave concat and the
-    # kernel's input DMA move a quarter of the int32 bytes
+    # int8 transport: the interleave concat and the kernel's input DMA
+    # move a quarter of the int32 bytes (wrapped chroma +128 decoded
+    # in-kernel via chroma_wrap)
     sinter = jnp.concatenate(
         [b.astype(jnp.int8).reshape(n_mcu, nb, 64)
          for b, nb in zip(blocks, nb_blocks)],
@@ -178,6 +186,9 @@ def _interleave_samples(blocks, iquant, ibias, nb_blocks, n_images=1):
     dc_cols = []
     for c, (b, nb) in enumerate(zip(blocks, nb_blocks)):
         g = 0 if c == 0 else 1
+        if chroma_wrap and c > 0 and b.dtype == jnp.int8:
+            b32 = b.astype(jnp.int32)
+            b = jnp.where(b32 == -128, 128, b32)
         dc = pallas_fdct.fdct_dc(b)
         if iquant.ndim == 3:                     # per-image matrices
             dcr = dc.reshape(n_images, -1)
@@ -394,9 +405,11 @@ def _encode_core_body(src, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
     whole program).
     """
     on_tpu = jax.default_backend() != "cpu"
-    # centered samples fit int8; blockizing in int8 quarters the layout
-    # copies feeding the samples-in kernel
+    # int8 transport quarters the layout copies feeding the samples-in
+    # kernel; RGB-derived chroma can reach +128 (wraps to -128 in int8),
+    # decoded in-kernel via chroma_wrap
     bdt = jnp.int8 if on_tpu else jnp.int32
+    chroma_wrap = src_kind == "rgb"
     if src_kind == "planes":
         blocks = colorspace.planes_to_blocks(src, yuv_mode, width, height,
                                              out_dtype=bdt)
@@ -408,9 +421,11 @@ def _encode_core_body(src, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
         # fDCT): the [N, 64] coefficient plane never reaches HBM
         from .ops import pallas_quant_pack
         sinter, dc_codes, group = _interleave_samples(
-            blocks, iquant, ibias, nb_blocks, n_images)
+            blocks, iquant, ibias, nb_blocks, n_images,
+            chroma_wrap=chroma_wrap)
         words, bit_lens = pallas_quant_pack.sample_vlc_pack_pallas(
-            sinter, dc_codes, group, iquant, ibias, dc_luts, ac_luts)
+            sinter, dc_codes, group, iquant, ibias, dc_luts, ac_luts,
+            chroma_wrap=chroma_wrap)
     else:
         coeffs = [fdct.fdct_blocks(b) for b in blocks]
         rl, dc_codes, group = _interleave_quantized(coeffs, iquant, ibias,
@@ -844,14 +859,17 @@ def _encode_batch_opt_core(src, iquant, ibias, dc_luts, ac_luts, *,
     rows / Huffman LUTs selected by grid index maps); XLA fallback keeps
     the staged coefficient route."""
     blocks = _batch_blocks(src, yuv_mode, width, height, src_kind)
+    chroma_wrap = src_kind == "rgb"
     if jax.default_backend() != "cpu":
         from .ops import pallas_quant_pack, pallas_tree_concat
         sinter, dc_codes, group = _interleave_samples(
-            blocks, iquant, ibias, nb_blocks, n_images)
+            blocks, iquant, ibias, nb_blocks, n_images,
+            chroma_wrap=chroma_wrap)
         per_image = per_image_tables or iquant.ndim == 3
         if not per_image:
             words, bit_lens = pallas_quant_pack.sample_vlc_pack_pallas(
-                sinter, dc_codes, group, iquant, ibias, dc_luts, ac_luts)
+                sinter, dc_codes, group, iquant, ibias, dc_luts, ac_luts,
+                chroma_wrap=chroma_wrap)
         else:
             # broadcast whichever side is still shared, then pad each
             # image's rows to whole tiles for the per-image index maps
@@ -878,7 +896,8 @@ def _encode_batch_opt_core(src, iquant, ibias, dc_luts, ac_luts, *,
 
             words, bit_lens = pallas_quant_pack.sample_vlc_pack_pallas(
                 padrows(sinter), padrows(dc_codes), padrows(group),
-                iq3, ib3, dcl3, acl3, tiles_per_img=padded // tile)
+                iq3, ib3, dcl3, acl3, tiles_per_img=padded // tile,
+                chroma_wrap=chroma_wrap)
             if pad:
                 # pad rows still emit DC+EOB codes; zero them so the
                 # concat's left-aligned-content invariant holds

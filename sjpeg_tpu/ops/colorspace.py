@@ -173,9 +173,16 @@ def rgb_to_blocks(rgb, yuv_mode: int, width: int, height: int,
 
     With a leading batch dim, each component array concatenates the images'
     blocks in batch order (image-major, then component scan order).
-    Centered samples fit int8 exactly; `out_dtype=jnp.int8` casts each
-    plane *before* the blockize transposes so those relayout copies move
-    a quarter of the bytes (the fused samples-in kernel takes int8).
+    `out_dtype=jnp.int8` casts each plane *before* the blockize transposes
+    so those relayout copies move a quarter of the bytes (the fused
+    samples-in kernel takes int8).  Caution: luma fits int8 exactly
+    ([-128, 127]), but chroma spans [-127, +128] (pure blue -> U = +128,
+    pure red -> V = +128; the reference keeps unclamped int16,
+    src/colors_rgb.cc ToU/ToUV), so the int8 cast wraps +128 to -128 —
+    consumers of int8 chroma MUST decode -128 back to +128 after widening
+    (engine._interleave_samples / pallas_quant_pack chroma_wrap).  -128 is
+    unreachable from RGB chroma (minimum is exactly -127), so the mapping
+    is unambiguous.
     """
     cast = lambda p: p.astype(out_dtype)
     if yuv_mode == C.YUV_444:

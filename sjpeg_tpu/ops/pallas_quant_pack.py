@@ -92,9 +92,12 @@ def _quantize(coef, grp0, iquant_ref, ibias_ref):
     return jnp.where(coef < 0, -q, q)
 
 
-def _rl_fields(zz, mdc, grp0, ac_lut_ref):
-    """Paired zigzag-domain quantized levels [R, 128] -> packed words +
-    totals (run/size/code derivation + paired_fields_to_words)."""
+def derive_fields(zz):
+    """Paired zigzag-domain quantized levels [R, 128] -> (run, size,
+    code, nz) VLC fields.  Zero-run length = distance to the previous
+    nonzero lane within the half; per-half base sentinels at lanes 0/64
+    keep the full-width running max from crossing the block boundary.
+    Shared by the production kernels and scripts/kernel_ablate.py."""
     R = zz.shape[0]
     gl = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
     lane_ib = gl & 63
@@ -103,14 +106,18 @@ def _rl_fields(zz, mdc, grp0, ac_lut_ref):
     size = jnp.where(nz, _calc_log2(jnp.maximum(m, 1)), 0)
     neg = jnp.where(zz < 0, -1, 0)
     code = (m ^ neg) & ((1 << size) - 1)
-    # zero-run length: distance to the previous nonzero lane within the
-    # half; per-half base sentinels at lanes 0/64 keep the full-width
-    # running max from crossing the block boundary
     prev = _cummax_lanes(
         jnp.where(nz, gl, jnp.where(lane_ib == 0, gl, 0)))
     prev_before = jnp.concatenate(
         [jnp.zeros((R, 1), jnp.int32), prev[:, :-1]], axis=1)
     run = jnp.where(nz, gl - prev_before - 1, 0)
+    return run, size, code, nz
+
+
+def _rl_fields(zz, mdc, grp0, ac_lut_ref):
+    """Paired zigzag-domain quantized levels [R, 128] -> packed words +
+    totals (derive_fields + paired_fields_to_words)."""
+    run, size, code, nz = derive_fields(zz)
     return paired_fields_to_words(run, size, code, nz, mdc, grp0,
                                   ac_lut_ref)
 
@@ -128,9 +135,22 @@ def _quant_pack_kernel(coef_ref, meta_ref, iquant_ref, ibias_ref,
     total_ref[:] = lanes_from_cols(total, total_ref.shape[1])
 
 
+def _decode_chroma_wrap(xp, grp0):
+    """Undo the int8 wrap of RGB-derived chroma samples.
+
+    RGB-derived chroma spans [-127, +128] (pure blue -> U = +128, pure
+    red -> V = +128; the reference keeps unclamped int16 samples,
+    src/colors_rgb.cc ToU/ToUV), so the int8 transport encoding wraps
+    +128 to -128.  -128 is unreachable from RGB chroma (the minimum is
+    exactly -127), so the mapping is unambiguous; luma (grp0) spans
+    [-128, 127] natively and must not be touched."""
+    return jnp.where(jnp.logical_not(grp0) & (xp == -128), 128, xp)
+
+
 def _sample_pack_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
                         fa_ref, fpcb_ref, fpozz_ref, fkv_ref,
-                        ac_lut_ref, words_ref, total_ref, *, tpm):
+                        ac_lut_ref, words_ref, total_ref, *, tpm,
+                        chroma_wrap=False):
     """Samples-in variant: runs the in-kernel fDCT (pallas_fdct.fdct_body,
     MXU matmuls + int32 fixups) before the shared quantize/VLC/pack body,
     so raw centered samples go in and packed bit streams come out — the
@@ -140,8 +160,10 @@ def _sample_pack_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
     no separate permutation matmul."""
     xp = _paired(x_ref[:].astype(jnp.int32))
     R = xp.shape[0]
-    zz = pallas_fdct.fdct_body(xp, fa_ref, fpcb_ref, fpozz_ref, fkv_ref)
     mdc, grp0 = meta_split(meta_ref, tpm, R)
+    if chroma_wrap:
+        xp = _decode_chroma_wrap(xp, grp0)
+    zz = pallas_fdct.fdct_body(xp, fa_ref, fpcb_ref, fpozz_ref, fkv_ref)
     q = _quantize(zz, grp0, iquant_ref, ibias_ref)
     words, total = _rl_fields(q, mdc, grp0, ac_lut_ref)
     words_ref[:] = words
@@ -150,29 +172,39 @@ def _sample_pack_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
 
 def _sample_pack_kernel_sets(x_ref, meta_ref, iquant_ref, ibias_ref,
                              fa_ref, fpcb_ref, fpozz_ref, fkv_ref,
-                             ac_lut_ref, words_ref, total_ref, *, tpm):
+                             ac_lut_ref, words_ref, total_ref, *, tpm,
+                             chroma_wrap=False):
     """Per-image variant: quantizer rows and the AC LUT carry a leading
     singleton dim selected per image by the BlockSpec index maps."""
     xp = _paired(x_ref[:].astype(jnp.int32))
     R = xp.shape[0]
-    zz = pallas_fdct.fdct_body(xp, fa_ref, fpcb_ref, fpozz_ref, fkv_ref)
     mdc, grp0 = meta_split(meta_ref, tpm, R)
+    if chroma_wrap:
+        xp = _decode_chroma_wrap(xp, grp0)
+    zz = pallas_fdct.fdct_body(xp, fa_ref, fpcb_ref, fpozz_ref, fkv_ref)
     q = _quantize(zz, grp0, _DropLead(iquant_ref), _DropLead(ibias_ref))
     words, total = _rl_fields(q, mdc, grp0, _DropLead(ac_lut_ref))
     words_ref[:] = words
     total_ref[:] = lanes_from_cols(total, total_ref.shape[1])
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "tiles_per_img"))
+@functools.partial(jax.jit, static_argnames=("tile", "tiles_per_img",
+                                             "chroma_wrap"))
 def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
                            dc_luts, ac_luts, tile: int = DEFAULT_TILE,
-                           tiles_per_img: int = 0):
+                           tiles_per_img: int = 0,
+                           chroma_wrap: bool = False):
     """Fused fDCT + quantize + zigzag + run/level + VLC + pack.
 
     samples: [N, 64] int8 (or int32) raster-order centered samples,
     MCU-interleaved; other arguments as in quant_vlc_pack_pallas
     (dc_codes come from the cheap XLA DC chain over pallas_fdct.fdct_dc).
-    Samples ship as int8 — a quarter of the input DMA.
+    Samples ship as int8 — a quarter of the input DMA.  `chroma_wrap`
+    (RGB-derived sources only): chroma samples span [-127, +128], so the
+    int8 encoding wraps +128 to -128; the kernel decodes -128 back to
+    +128 on chroma blocks after widening (see _decode_chroma_wrap).
+    Planar YUV sources must pass False — their chroma legitimately
+    reaches -128 (sample value 0) and never +128.
 
     Per-image mode: pass iquant2/ibias2 [B, 2, 64], dc_luts [B, 2, 16] /
     ac_luts [B, 2, 256] and `tiles_per_img` (rows image-major, per-image
@@ -217,12 +249,14 @@ def sample_vlc_pack_pallas(samples, dc_codes, group, iquant2, ibias2,
             memory_space=space)
         q_spec = lambda: per_img((2, LANE), pltpu.VMEM)
         lut_spec = per_img((2, 256), pltpu.SMEM)
-        kernel = functools.partial(_sample_pack_kernel_sets, tpm=tpm)
+        kernel = functools.partial(_sample_pack_kernel_sets, tpm=tpm,
+                                   chroma_wrap=chroma_wrap)
     else:
         q_spec = lambda: const((2, LANE))
         lut_spec = pl.BlockSpec((2, 256), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)
-        kernel = functools.partial(_sample_pack_kernel, tpm=tpm)
+        kernel = functools.partial(_sample_pack_kernel, tpm=tpm,
+                                   chroma_wrap=chroma_wrap)
     words, totals = pl.pallas_call(
         kernel,
         grid=(NP // tile,),

@@ -323,8 +323,9 @@ def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int,
         per = n_units // n_images                    # units per image
         radix = (4 if per % 4 == 0 and per >= 4 and w * 4 <= W_STOP
                  else 2)
-        if per % radix:
-            break                                    # finisher handles it
+        # `per` is a power of two >= 2 here (u is a pow2 and each level
+        # divides it by the radix), so per % radix == 0 always holds
+        assert per % radix == 0, per
         # past W_STOP, only a tree-completing pair merge is worth the
         # wider tiles; anything else goes to the XLA scan finisher
         if w >= W_STOP and not (radix == 2 and per == 2):
@@ -338,8 +339,8 @@ def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int,
             out_w = 2 * w
         R = _level_tile_rows(rows, radix * w)
         # lane-packed lens path: big radix-4 levels only (R >= 256 keeps
-        # every lens block's sublane count a multiple of 8 and mw >= 32)
-        mw_in = carrier_mw or 128
+        # every lens block's sublane count a multiple of 8 and mw >= 32);
+        # a 1-D lens carrier packs to 128-wide rows at entry
         use_ll = (radix == 4 and R >= 256 and max_bits < (1 << 16)
                   and (carrier_mw or n_units % 128 == 0))
         if use_ll:

@@ -241,32 +241,21 @@ def _pack_words(T, wmax, sym_f, esc_thunk, any_esc, eob_f):
     return words
 
 
-def paired_fields_to_words(run, size, code, nz, mdc, grp0, ac_lut_ref):
-    """VLC fields -> per-block packed words, paired-row layout.
+def ac_lut_lookup(run, size, nz, grp0, ac_lut_ref):
+    """Huffman AC lookups as masked accumulation over the symbol domain.
 
-    run/size/code/nz: [R, 128] zigzag-order fields, two blocks per row
-    (block r in lanes 0-63, block r + R in lanes 64-127 of row r);
-    mdc: [2R, 1] int32 bit-pattern of packed (dc_value << 5 | dc_len);
-    grp0: [R, 128] luma-table mask; ac_lut_ref: indexable [2, 256]
-    packed-LUT scalars.  Returns ([2R, 64] words, [2R, 1] bit totals).
-    """
-    R = run.shape[0]
-    T = 2 * R
-    code = code.astype(jnp.uint32)
-    gl = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
-    lane_ib = gl & 63
+    Masks are disjoint (sym == k), so OR composes the selects exactly; a
+    fori_loop keeps the kernel's stack footprint constant (Mosaic does
+    not reuse slots of unrolled loops) with dynamic SMEM scalar reads.
 
-    # ---- Huffman lookups: masked accumulation over the symbol domain ----
-    # masks are disjoint (sym == k), so OR composes the selects exactly;
-    # a fori_loop keeps the kernel's stack footprint constant (Mosaic does
-    # not reuse slots of unrolled loops) with dynamic SMEM scalar reads
+    Dynamic size bound: only size classes present in the tile are
+    scanned.  Within a size class the 16 run nibbles resolve with two
+    grouped compares (run bit 3 rides in the compare key, run bits 0-2
+    pick among 8 per-lane leaf scalars through a select tree): ~20 whole
+    -tile ops per size class instead of 48 for 16 single-symbol selects.
+    Shared by the production kernels and scripts/kernel_ablate.py.
+    Returns the packed (code << 16 | len) uint32 per lane."""
     sym = ((run & 15) << 4) | size
-
-    # dynamic size bound: only size classes present in the tile are
-    # scanned.  Within a size class the 16 run nibbles resolve with two
-    # grouped compares (run bit 3 rides in the compare key, run bits 0-2
-    # pick among 8 per-lane leaf scalars through a select tree): ~20 whole
-    # -tile ops per size class instead of 48 for 16 single-symbol selects
     smax = jnp.max(jnp.where(nz, size, 0))
     sym_g = (sym | 0x70).astype(jnp.int32)      # keep run bit 3 + size
     b4 = (sym & 0x10) != 0
@@ -291,8 +280,26 @@ def paired_fields_to_words(run, size, code, nz, mdc, grp0, ac_lut_ref):
             acc = acc | jnp.where(sym_g == key, sel, jnp.uint32(0))
         return acc
 
-    ac_packed = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, smax, lut_step, jnp.zeros_like(sym).astype(jnp.uint32))
+
+
+def paired_fields_to_words(run, size, code, nz, mdc, grp0, ac_lut_ref):
+    """VLC fields -> per-block packed words, paired-row layout.
+
+    run/size/code/nz: [R, 128] zigzag-order fields, two blocks per row
+    (block r in lanes 0-63, block r + R in lanes 64-127 of row r);
+    mdc: [2R, 1] int32 bit-pattern of packed (dc_value << 5 | dc_len);
+    grp0: [R, 128] luma-table mask; ac_lut_ref: indexable [2, 256]
+    packed-LUT scalars.  Returns ([2R, 64] words, [2R, 1] bit totals).
+    """
+    R = run.shape[0]
+    T = 2 * R
+    code = code.astype(jnp.uint32)
+    gl = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    lane_ib = gl & 63
+
+    ac_packed = ac_lut_lookup(run, size, nz, grp0, ac_lut_ref)
     s_code = (ac_packed >> 16).astype(jnp.uint32)
     s_len = (ac_packed & 0xFF).astype(jnp.int32)
 

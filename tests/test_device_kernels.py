@@ -706,3 +706,60 @@ def test_pallas_sample_pack_per_image_interpret(rng):
                 np.asarray(got_w[i * per:(i + 1) * per]), np.asarray(w1))
     finally:
         pl.pallas_call = orig
+
+
+def test_sample_pack_saturated_chroma_wrap(rng):
+    """RGB-derived chroma reaches exactly +128 (pure blue -> U, pure red
+    -> V; the reference keeps unclamped int16 samples, colors_rgb.cc
+    ToU/ToUV), which wraps to -128 in the int8 transport encoding.  The
+    fused TPU path (int8 blocks + in-kernel fDCT, chroma_wrap=True) must
+    match the exact int32 coefficient path bit-for-bit."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.engine import (_device_luts, _interleave_coeffs,
+                                  _interleave_samples,
+                                  _quant_device_arrays)
+    from sjpeg_tpu.huffman import k3_default_tables
+    from sjpeg_tpu.ops import pallas_quant_pack as pqp
+    from sjpeg_tpu.params import quant_matrices_for_quality
+
+    h = w = 32
+    rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    rgb[:16, :16] = [0, 0, 255]     # pure blue: U = +128
+    rgb[16:, 16:] = [255, 0, 0]     # pure red:  V = +128
+    nb = (4, 1, 1)
+    # exact int32 path vs the int8 transport the TPU engine uses
+    blocks32 = colorspace.rgb_to_blocks(jnp.asarray(rgb), C.YUV_420, w, h)
+    blocks8 = colorspace.rgb_to_blocks(jnp.asarray(rgb), C.YUV_420, w, h,
+                                       out_dtype=jnp.int8)
+    u8 = np.asarray(blocks8[1])
+    assert (np.asarray(blocks32[1]) == 128).any(), "setup: no saturated U"
+    assert (u8 == -128).any(), "setup: int8 transport did not wrap"
+
+    qmats = quant_matrices_for_quality(75.0)
+    qm = [spec.finalize_quant_matrix(qmats[i], np.ones(64, np.uint8),
+                                     C.DEFAULT_BIAS) for i in range(2)]
+    iq, ib = _quant_device_arrays(qm)
+    dc_luts, ac_luts = _device_luts(k3_default_tables())
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        coeffs = [fdct.fdct_blocks(b) for b in blocks32]
+        cinter, dc1, group1 = _interleave_coeffs(coeffs, iq, ib, nb)
+        want_w, want_t = pqp.quant_vlc_pack_pallas.__wrapped__(
+            cinter, dc1, group1, iq, ib, dc_luts, ac_luts, tile=16)
+        sinter, dc2, group2 = _interleave_samples(blocks8, iq, ib, nb,
+                                                  chroma_wrap=True)
+        np.testing.assert_array_equal(np.asarray(dc2), np.asarray(dc1))
+        got_w, got_t = pqp.sample_vlc_pack_pallas.__wrapped__(
+            sinter, dc2, group2, iq, ib, dc_luts, ac_luts, tile=16,
+            chroma_wrap=True)
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(want_w))
