@@ -21,7 +21,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from r2_experiments import _kernel_inputs, timeit
+from r2_experiments import _kernel_inputs
+from r3_experiments import slope_time
+
+
+def timeit(fn):
+    return slope_time(fn)[0]
 from sjpeg_tpu.ops import pallas_fdct, pallas_quant_pack as pqp
 from sjpeg_tpu.ops import pallas_vlc_pack as pvp
 from sjpeg_tpu.ops.pallas_vlc_pack import (LANE, WORDS, ac_lut_lookup,

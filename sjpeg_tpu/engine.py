@@ -1130,15 +1130,28 @@ def _slice_words_batch(words, n: int):
     return jax.lax.slice(words, (0, 0), (words.shape[0], n))
 
 
+def _ladder(n: int, floor: int = 1024) -> int:
+    """Smallest quarter-power-of-two step >= n: {2^k, 1.25, 1.5, 1.75}*2^k.
+    A bounded set of slice shapes (so the jitted slice cache stays small)
+    that wastes at most 25% transfer vs the exact prefix — the pow2 ladder
+    wasted up to 2x through the slow dev tunnel."""
+    if n <= floor:
+        return floor
+    base = 1 << (n - 1).bit_length() - 1          # 2^k <= n-1 < 2^(k+1)
+    if n <= base:
+        return base
+    step = base // 4
+    return base + -(-max(n - base, 0) // step) * step
+
+
 def fetch_streams_batch(words, totals_np) -> np.ndarray:
-    """Fetch a [B, bucket] batch of streams as the smallest power-of-two
+    """Fetch a [B, bucket] batch of streams as the smallest ladder-step
     word-column prefix covering every image's used words (the relay moves
     bytes slowly; the bucket is sized for the worst case, not the batch)."""
     nmax = int((int(totals_np.max()) + 31) // 32) if totals_np.size else 1
     if nmax >= words.shape[1]:
         return np.asarray(words)
-    ncols = 1 << max(10, (nmax - 1).bit_length() if nmax > 1 else 1)
-    ncols = min(ncols, words.shape[1])
+    ncols = min(_ladder(nmax), words.shape[1])
     return np.asarray(_slice_words_batch(words, ncols))
 
 
@@ -1149,12 +1162,11 @@ def _slice_words(words, n: int):
 
 def fetch_stream(words, total_bits: int) -> np.ndarray:
     """Fetch only the meaningful prefix of the device stream (bucketed to
-    power-of-two lengths so transfer slicing doesn't recompile per size)."""
+    ladder-step lengths so transfer slicing doesn't recompile per size)."""
     n_words = (total_bits + 31) // 32
     if n_words >= words.shape[0]:
         return np.asarray(words)[:n_words]
-    bucket = 1 << max(10, (n_words - 1).bit_length() if n_words > 1 else 1)
-    bucket = min(bucket, words.shape[0])
+    bucket = min(_ladder(n_words), words.shape[0])
     return np.asarray(_slice_words(words, bucket))[:n_words]
 
 
