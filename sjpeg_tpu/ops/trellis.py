@@ -118,10 +118,16 @@ def trellis_quantize_blocks_jax(coeffs, iquant, ibias, quant, lt):
         run = (i - 1) - pos_k                        # [128] traced
         run15 = run & 15
         resc = run >> 4
-        bits = jnp.zeros((N, 2, 128), jnp.int32)
-        for r in range(16):
-            bits = bits + jnp.where((run15 == r)[None, None, :],
-                                    aclen[:, :, r][:, :, None], 0)
+        # bits[n,c,k] = aclen[n,c,run15[k]]: a lane gather expressed as an
+        # exact one-hot matmul (lengths <= 16 and 0/1 one-hots are
+        # bf16-exact, 16-term dots stay integral) — one MXU pass instead
+        # of 16 masked accumulates over the full [N, 2, 128] tensor
+        oh = (run15[None, :]
+              == jnp.arange(16, dtype=jnp.int32)[:, None])   # [16, 128]
+        bits = jax.lax.dot_general(
+            aclen.astype(jnp.float32), oh.astype(jnp.float32),
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
         bits = (bits + nbc[:, :, None]
                 + resc[None, None, :] * esc_len[:, None, None])
 
