@@ -157,12 +157,14 @@ def main(argv=None) -> int:
         param.yuv_mode = C.YUV_400
     else:
         param.yuv_mode = args.yuv_mode
+    # reference CLI: a search with -pass <= 1 is forced to 10 passes
+    # (examples/sjpeg.cc:254-256)
     if args.size is not None:
         param.set_target_size(args.size, args.tolerance,
-                              args.passes if args.passes > 0 else 10)
+                              args.passes if args.passes > 1 else 10)
     elif args.psnr is not None:
         param.set_target_psnr(args.psnr, args.tolerance,
-                              args.passes if args.passes > 0 else 10)
+                              args.passes if args.passes > 1 else 10)
     elif args.passes > 1:
         param.passes = args.passes
 

@@ -21,6 +21,7 @@ import numpy as np
 from . import constants as C
 from . import spec
 from .huffman import (HuffmanTable, build_code_lut, k3_default_tables,
+                      overlay_code_lut,
                       optimal_tables_from_freqs)
 from .params import EncoderParam, SearchHook, method_flags, \
     quant_matrices_for_quality
@@ -154,9 +155,12 @@ def loop_scan(coeffs, histos, layout, param: EncoderParam):
             if flags["optimize_size"]:
                 tables = build_tables(comp_rl, comp_dc)
                 if flags["use_trellis"]:
-                    cost_luts[0] = build_code_lut(tables[2], 256)
+                    # persistent-array InitCodes semantics: absent symbols
+                    # keep their previous (ultimately default) lengths
+                    cost_luts[0] = overlay_code_lut(cost_luts[0], tables[2])
                     if tables[3] is not None:
-                        cost_luts[1] = build_code_lut(tables[3], 256)
+                        cost_luts[1] = overlay_code_lut(cost_luts[1],
+                                                        tables[3])
             dc_luts = [build_code_lut(tables[0], 16),
                        build_code_lut(tables[1], 16)
                        if tables[1] is not None else None]

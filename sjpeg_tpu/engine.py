@@ -287,8 +287,10 @@ def _stage_quantize_trellis(coeffs, iquant, ibias, quant, lt_lens,
     Not a single jit: the trellis itself runs through the fixed-shape
     chunked driver (ops.trellis.trellis_quantize_tiled) so every image
     and batch size reuses one compiled scan executable.  lt_lens: the
-    [2, 256] AC code lengths supplying the rate costs — always the
-    tables active *before* Huffman optimization (src/enc.cc:1528)."""
+    [2, 256] AC code lengths supplying the rate costs — the tables
+    active *before* this pass's Huffman optimization (src/enc.cc:1528):
+    K.3 defaults on a single pass, the previous size pass's optimized
+    tables inside a dichotomy (src/dichotomy.cc:83-85,144)."""
     from .ops import trellis as trellis_ops
     cinter, iq_r, ib_r, qq_r, group, dc_codes = _stage_trellis_prep(
         coeffs, iquant, ibias, quant, nb_blocks, n_images)
@@ -623,8 +625,10 @@ def _encode_batch_src(src, src_kind: str, yuv_mode: int, w: int, h: int,
     flags = method_flags(param.method)
     if param.passes > 1 and param.target_mode != TARGET_NONE:
         if flags["use_trellis"] or param.search_hook is not None:
-            # stateful user hooks / multi-pass trellis: per-image routes
-            from . import host_encoder
+            # stateful user hooks / multi-pass trellis: per-image device
+            # searches (encode_rgb -> _encode_search_device); the batched
+            # search's shared pass programs assume a shared trellis rate
+            # table, which methods 7/8 evolve per image per pass
             out = []
             for i in range(b):
                 if src_kind == "rgb":
@@ -1479,12 +1483,34 @@ def _encode_one_search(src, src_kind: str, i: int, yuv_mode: int, w: int,
     return _encode_search_device(coeffs, histos, layout, param_i)
 
 
+def _lens_from_tables(tables, prev):
+    """[2, 256] AC code lengths refreshed from optimized tables with the
+    reference's persistent-array InitCodes semantics (src/enc.cc:451-463,
+    src/dichotomy.cc:85,144): only symbols PRESENT in the new table get new
+    lengths; absent symbols keep their previous (ultimately K.3-default)
+    lengths — the trellis rate model reads those stale entries."""
+    from .huffman import overlay_code_lut
+    lens = np.asarray(prev).copy()
+    lens[0] = overlay_code_lut(lens[0].astype(np.uint32),
+                               tables[2]) & 0xFF
+    if tables[3] is not None:
+        lens[1] = overlay_code_lut(lens[1].astype(np.uint32),
+                                   tables[3]) & 0xFF
+    return jnp.asarray(lens.astype(np.int32))
+
+
 def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
     """Target-size / target-PSNR dichotomy over device-resident coeffs.
 
     Mirrors dichotomy.loop_scan (and the reference LoopScan) with the
     per-pass quantize/size/PSNR evaluation on device; table builds and the
     bisection control stay on host.  Byte-identical to the host path.
+
+    Methods 7/8 (trellis) run the device trellis per pass with the rate
+    model the reference uses: the tables active *before* this pass's
+    Huffman optimization — K.3 defaults on pass 0, then each size pass's
+    optimized tables feed the next pass's trellis (InitCodes(true) in
+    StoreRunLevels, src/dichotomy.cc:83-85,144).
     """
     from .dichotomy import header_size_bits
     from .params import SearchHook
@@ -1512,6 +1538,7 @@ def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
     opt_quants = None
     passes = min(max(param.passes, 1), 20)
     state = None
+    cost_lens = _trellis_cost_lens() if flags["use_trellis"] else None
 
     def make_qms():
         qmats = np.stack([hook.next_matrices()[c] for c in range(2)])
@@ -1528,21 +1555,32 @@ def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
                     tuned, min_qmats[g], param.quantization_bias)
         return qms
 
+    def quantize_stage(qms, iq, ib, with_stats):
+        if flags["use_trellis"]:
+            qq = jnp.asarray(np.stack(
+                [qms[0]["quant"], qms[1]["quant"]]).astype(np.int32))
+            return _stage_quantize_trellis(
+                coeffs, iq, ib, qq, cost_lens, with_stats=with_stats,
+                nb_blocks=nb_blocks)
+        return _stage_quantize(coeffs, iq, ib, with_stats=with_stats,
+                               nb_blocks=nb_blocks)
+
     for p in range(passes):
         hook.pass_count = p
         qms = make_qms()
         iq, ib = _quant_device_arrays(qms)
 
         if hook.for_size:
-            vlc_state, freqs = _stage_quantize(
-                coeffs, iq, ib, with_stats=flags["optimize_size"],
-                nb_blocks=nb_blocks)
+            vlc_state, freqs = quantize_stage(
+                qms, iq, ib, with_stats=flags["optimize_size"])
             if flags["optimize_size"]:
                 tables = optimal_tables_from_freqs(
                     np.asarray(freqs[0]).astype(np.int64),
                     np.asarray(freqs[1]).astype(np.int64), n_groups)
                 if n_groups == 1:
                     tables[1], tables[3] = defaults[1], defaults[3]
+                if flags["use_trellis"]:
+                    cost_lens = _lens_from_tables(tables, cost_lens)
             dc_luts, ac_luts = _device_luts(tables)
             # The per-pass size must match the reference's BitCounter
             # (src/bit_writer.h:157-168, dichotomy.cc:263-270) bit-exactly —
@@ -1583,9 +1621,8 @@ def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
 
     if not hook.for_size or not last_is_best:
         iq, ib = _quant_device_arrays(qms)
-        vlc_state, freqs = _stage_quantize(
-            coeffs, iq, ib, with_stats=flags["optimize_size"],
-            nb_blocks=nb_blocks)
+        vlc_state, freqs = quantize_stage(
+            qms, iq, ib, with_stats=flags["optimize_size"])
         if flags["optimize_size"]:
             tables = optimal_tables_from_freqs(
                 np.asarray(freqs[0]).astype(np.int64),
@@ -1663,10 +1700,6 @@ def _finalize_scan_bytes(words, total_bits: int) -> bytes:
 
 def _encode_blocks_device(get_coeffs, layout, param: EncoderParam) -> bytes:
     flags = method_flags(param.method)
-    if flags["use_trellis"] and param.passes > 1:
-        raise NotImplementedError(
-            "multi-pass trellis runs via the host orchestrator")
-
     if param.passes > 1:
         coeffs, histos = get_coeffs(flags["use_adaptive_quant"])
         return _encode_search_device(coeffs, histos, layout, param)
@@ -1749,10 +1782,6 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
     h, w = rgb.shape[:2]
     assert 0 < w <= C.MAX_DIMENSION and 0 < h <= C.MAX_DIMENSION
-    if method_flags(param.method)["use_trellis"] and param.passes > 1:
-        # multi-pass trellis runs through the host orchestrator
-        from . import host_encoder
-        return host_encoder.encode_rgb(rgb, param)
     yuv_mode = param.yuv_mode
     dev_rgb = jnp.asarray(rgb)
     if yuv_mode == C.YUV_AUTO:
@@ -1797,9 +1826,6 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
 def encode_gray(gray: np.ndarray,
                 param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
-    if method_flags(param.method)["use_trellis"] and param.passes > 1:
-        from . import host_encoder
-        return host_encoder.encode_gray(gray, param)
     h, w = gray.shape
     layout = pipeline.component_layout(C.YUV_400, w, h)
     dev = (jnp.asarray(gray),)
@@ -1814,9 +1840,6 @@ def encode_gray(gray: np.ndarray,
 def encode_yuv(y, u, v, is_420: bool,
                param: Optional[EncoderParam] = None) -> bytes:
     param = param or EncoderParam()
-    if method_flags(param.method)["use_trellis"] and param.passes > 1:
-        from . import host_encoder
-        return host_encoder.encode_yuv(y, u, v, is_420, param)
     h, w = y.shape
     mode = C.YUV_420 if is_420 else C.YUV_444
     layout = pipeline.component_layout(mode, w, h)

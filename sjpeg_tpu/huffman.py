@@ -66,6 +66,18 @@ def build_code_lut(table: HuffmanTable, lut_size: int = 256) -> np.ndarray:
     return lut
 
 
+def overlay_code_lut(prev: np.ndarray, table: HuffmanTable) -> np.ndarray:
+    """Reference InitCodes semantics (src/enc.cc:451-463): BuildHuffmanTable
+    writes codes only for symbols PRESENT in the table into a persistent
+    array, so symbols absent from an optimized table keep whatever code the
+    previous table (ultimately the K.3 defaults) assigned.  The trellis
+    rate model reads those stale entries (src/enc.cc:700 via Q->codes_),
+    so a dichotomy's per-pass cost tables must overlay, not rebuild."""
+    new = build_code_lut(table, prev.shape[0])
+    present = (new & 0xFF) > 0
+    return np.where(present, new, prev).astype(np.uint32)
+
+
 def build_optimal_table(freq: np.ndarray, size: int) -> HuffmanTable:
     """Build a length-limited Huffman table from symbol frequencies.
 

@@ -100,3 +100,50 @@ def test_trellis_improves_rate_distortion():
     tr = host_encode_rgb(rgb, EncoderParam(quality=75, yuv_mode=C.YUV_420,
                                            use_trellis=True))
     assert len(tr) <= len(base) * 1.02
+
+
+@pytest.mark.parametrize("target", ["size", "psnr"])
+def test_device_trellis_search_byte_exact(reference_bin, ppm_dir, target):
+    """Multi-pass trellis search (method 7 + -size/-psnr) runs through the
+    device search path (engine._encode_search_device with evolving trellis
+    rate tables, reference src/dichotomy.cc:83-85,144) and must stay
+    byte-identical to the reference binary."""
+    from sjpeg_tpu import engine
+
+    w, h = 64, 48
+    rgb = make_test_image(w, h, seed=7)
+    ppm = ppm_dir / "trs.ppm"
+    write_ppm(ppm, rgb)
+    if target == "size":
+        flags = ("-size", "900", "-pass", "5")
+    else:
+        flags = ("-psnr", "33", "-pass", "5")
+    ref = reference_encode(reference_bin, ppm, ppm_dir / f"trs_{target}.jpg",
+                           "-q", "75", "-yuv_mode", "1", "-trellis", *flags)
+    p = EncoderParam(quality=75, yuv_mode=C.YUV_420, use_trellis=True)
+    if target == "size":
+        p.set_target_size(900, passes=5)
+    else:
+        p.set_target_psnr(33.0, passes=5)
+    assert engine.encode_rgb(rgb, p) == ref
+
+
+def test_batch_trellis_search_matches_single(reference_bin, ppm_dir):
+    """encode_batch with trellis + target-size routes through per-image
+    device searches; results must equal per-image encode_rgb (and the
+    reference binary)."""
+    from sjpeg_tpu import engine
+
+    w, h = 48, 32
+    imgs = np.stack([make_test_image(w, h, seed=s) for s in (1, 2)])
+    p = EncoderParam(quality=75, yuv_mode=C.YUV_420, use_trellis=True)
+    p.set_target_size(700, passes=4)
+    got = engine.encode_batch(imgs, p)
+    for i in range(2):
+        assert got[i] == engine.encode_rgb(imgs[i], p)
+        ppm = ppm_dir / f"btr{i}.ppm"
+        write_ppm(ppm, imgs[i])
+        ref = reference_encode(reference_bin, ppm, ppm_dir / f"btr{i}.jpg",
+                               "-q", "75", "-yuv_mode", "1", "-trellis",
+                               "-size", "700", "-pass", "4")
+        assert got[i] == ref
