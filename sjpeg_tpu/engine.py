@@ -311,11 +311,13 @@ def _trellis_cost_lens():
     return jnp.asarray(lens.astype(np.int32))
 
 
-def _grouped_stats(rl, dc_codes, group, n_images: int = 1):
+def _grouped_stats(rl, dc_codes, group, n_images: int = 1, valid=None):
     """Per-table-group symbol frequencies from interleaved VLC fields.
 
     With n_images > 1 (rows image-major, equal blocks per image) the
     statistics segment per image: returns ([B, 2, 12], [B, 2, 256]).
+    `valid`: optional [N] bool mask — blocks with False contribute no
+    symbols (incl. their DC and EOB; ragged-stripe padding blocks).
 
     Counting-as-matmul: the 8-bit AC symbol splits into hi/lo nibbles;
     the table group rides along in the hi one-hot (32 rows = 2 groups x
@@ -328,6 +330,8 @@ def _grouped_stats(rl, dc_codes, group, n_images: int = 1):
     ghi = (group[:, None] * 16 + (sym >> 4)).reshape(n_images, per, 64)
     lo = (sym & 15).reshape(n_images, per, 64)
     nz3 = nz.reshape(n_images, per, 64)
+    if valid is not None:
+        nz3 = nz3 & valid.reshape(n_images, per, 1)
     hi_iota = jnp.arange(32, dtype=jnp.int32)
     lo_iota = jnp.arange(16, dtype=jnp.int32)
     acc = None
@@ -344,6 +348,10 @@ def _grouped_stats(rl, dc_codes, group, n_images: int = 1):
     g3 = group.reshape(n_images, per)
     esc = jnp.where(nz, rl["run"] >> 4, 0).sum(axis=1).reshape(n_images, per)
     eobs = (rl["last"] < 63).astype(jnp.int32).reshape(n_images, per)
+    if valid is not None:
+        v2 = valid.reshape(n_images, per)
+        esc = jnp.where(v2, esc, 0)
+        eobs = jnp.where(v2, eobs, 0)
     in_g1 = (g3 == 1)
     esc_g = jnp.stack([jnp.where(in_g1, 0, esc).sum(axis=1),
                        jnp.where(in_g1, esc, 0).sum(axis=1)], axis=1)
@@ -355,6 +363,8 @@ def _grouped_stats(rl, dc_codes, group, n_images: int = 1):
     dci = (g3 * 13 + (dc_codes.reshape(n_images, per) & 0x0F))
     e_dc = (dci[..., None] == jnp.arange(26, dtype=jnp.int32)).astype(
         jnp.int32)
+    if valid is not None:
+        e_dc = e_dc * valid.reshape(n_images, per, 1).astype(jnp.int32)
     freq_dc = e_dc.sum(axis=1).reshape(n_images, 2, 13)[:, :, :12]
     if n_images == 1:
         return freq_dc[0], freq_ac[0]
@@ -732,10 +742,13 @@ def _stage_batch_quantize(coeffs, iquant, ibias, with_stats: bool,
 @functools.partial(jax.jit, static_argnames=("n_images", "bucket",
                                              "per_image_tables"))
 def _stage_batch_pack(vlc_state, dc_luts, ac_luts, n_images: int,
-                      bucket: int, per_image_tables: bool = False):
+                      bucket: int, per_image_tables: bool = False,
+                      block_valid=None):
     """Batched VLC+pack+concat.  With per_image_tables, dc_luts/ac_luts
     are [B, 2, ...] per-image Huffman LUT sets (reference semantics:
-    src/enc.cc:1517-1580 optimizes tables per image)."""
+    src/enc.cc:1517-1580 optimizes tables per image).  `block_valid`:
+    optional [N] bool — invalid blocks (ragged-stripe padding) emit zero
+    bits (every block otherwise emits at least DC+EOB codes)."""
     rl, dc_codes, group = vlc_state
     if jax.default_backend() != "cpu":
         from .ops import pallas_tree_concat, pallas_vlc_pack
@@ -757,12 +770,17 @@ def _stage_batch_pack(vlc_state, dc_luts, ac_luts, n_images: int,
                 padrows(rl["run"]), padrows(rl["size"]),
                 padrows(rl["code"]), padrows(dc_codes), padrows(group),
                 dc_luts, ac_luts, tiles_per_img=padded // tile)
+            valid = None
             if pad:
                 # pad rows still emit DC+EOB codes; zero them so the
                 # concat's left-aligned-content invariant holds
                 valid = (jnp.arange(padded, dtype=jnp.int32)
                          < per_img)
                 valid = jnp.tile(valid, n_images)
+            if block_valid is not None:
+                bv = padrows(block_valid)
+                valid = bv if valid is None else (valid & bv)
+            if valid is not None:
                 bit_lens = jnp.where(valid, bit_lens, 0)
                 words = jnp.where(valid[:, None], words, 0)
             return pallas_tree_concat.concat_block_streams_tree(
@@ -770,6 +788,9 @@ def _stage_batch_pack(vlc_state, dc_luts, ac_luts, n_images: int,
         words, bit_lens = pallas_vlc_pack.vlc_pack_pallas(
             rl["run"], rl["size"], rl["code"], dc_codes, group,
             dc_luts, ac_luts)
+        if block_valid is not None:
+            bit_lens = jnp.where(block_valid, bit_lens, 0)
+            words = jnp.where(block_valid[:, None], words, 0)
         return pallas_tree_concat.concat_block_streams_tree(
             words, bit_lens, n_images=n_images, bucket=bucket)
     if per_image_tables:
@@ -782,6 +803,9 @@ def _stage_batch_pack(vlc_state, dc_luts, ac_luts, n_images: int,
     vals, lens = vlc.block_entries_grouped(rl, dc_codes, dc_luts,
                                            ac_luts, group)
     words, bit_lens = pack.pack_block_entries(vals, lens)
+    if block_valid is not None:
+        bit_lens = jnp.where(block_valid, bit_lens, 0)
+        words = jnp.where(block_valid[:, None], words, 0)
     return pack.concat_block_streams_batched(words, bit_lens, n_images,
                                              bucket)
 

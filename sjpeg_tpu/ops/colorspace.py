@@ -113,6 +113,25 @@ def _block_avg(block):
     return (block.astype(jnp.int32).sum(axis=-1) + 32) >> 6
 
 
+def fix_mcu(mcu, sw: int, sh: int):
+    """AverageExtraLuma flattening of one clipped 4:2:0 MCU's luma blocks
+    (src/enc.cc:1720-1738).  mcu: [..., 4, 64]; sw/sh static sub-sizes."""
+    b0, b1 = mcu[..., 0, :], mcu[..., 1, :]
+    b2, b3 = mcu[..., 2, :], mcu[..., 3, :]
+    dc = _block_avg(b0)[..., None].astype(mcu.dtype)
+    if sw <= 8:
+        b1 = jnp.broadcast_to(dc, b1.shape)
+    if sh <= 8:
+        dc2 = (_block_avg(b1)[..., None].astype(mcu.dtype)
+               if sw > 8 else dc)
+        b2 = jnp.broadcast_to(dc2, b2.shape)
+        b3 = jnp.broadcast_to(dc2, b3.shape)
+    elif sw <= 8:
+        b3 = jnp.broadcast_to(
+            _block_avg(b2)[..., None].astype(mcu.dtype), b3.shape)
+    return jnp.stack([b0, b1, b2, b3], axis=-2)
+
+
 def average_extra_luma(y_blocks, mb_w: int, mb_h: int, width: int,
                        height: int):
     """Flatten fully-out-of-frame 4:2:0 luma blocks (static-shape fixup).
@@ -134,23 +153,6 @@ def average_extra_luma(y_blocks, mb_w: int, mb_h: int, width: int,
 
     yb = y_blocks.reshape(-1, mb_h, mb_w, 4, 64)
 
-    def fix_mcu(mcu, sw, sh):
-        """mcu: [..., 4, 64]; sw/sh static sub-sizes of these MCUs."""
-        b0, b1 = mcu[..., 0, :], mcu[..., 1, :]
-        b2, b3 = mcu[..., 2, :], mcu[..., 3, :]
-        dc = _block_avg(b0)[..., None].astype(mcu.dtype)
-        if sw <= 8:
-            b1 = jnp.broadcast_to(dc, b1.shape)
-        if sh <= 8:
-            dc2 = (_block_avg(b1)[..., None].astype(mcu.dtype)
-                   if sw > 8 else dc)
-            b2 = jnp.broadcast_to(dc2, b2.shape)
-            b3 = jnp.broadcast_to(dc2, b3.shape)
-        elif sw <= 8:
-            b3 = jnp.broadcast_to(
-                _block_avg(b2)[..., None].astype(mcu.dtype), b3.shape)
-        return jnp.stack([b0, b1, b2, b3], axis=-2)
-
     if x_clip:
         col = yb[:, :, mb_x_max]          # [B, mb_h, 4, 64]
         fixed = fix_mcu(col, sub_w, 16)
@@ -164,6 +166,38 @@ def average_extra_luma(y_blocks, mb_w: int, mb_h: int, width: int,
         if x_clip:
             fixed = fixed.at[:, mb_x_max].set(yb[:, mb_y_max, mb_x_max])
         yb = yb.at[:, mb_y_max].set(fixed)
+    return yb.reshape(-1, 64)
+
+
+def average_extra_luma_dynamic_row(y_blocks, rows: int, mb_w: int,
+                                   width: int, sub_h: int, clip_row):
+    """Partial-MCU-row luma flattening at a *traced* row index.
+
+    Sharded stripes of a height-clipped image place the image's partial
+    MCU row at a stripe-local index known only per shard (`clip_row`, a
+    traced scalar; negative or >= rows means "not in this stripe").
+    Applies `fix_mcu` with the static (sub_w, sub_h) geometry to that one
+    row via dynamic slice/update — bit-identical to the static
+    average_extra_luma's y-clip handling.  `y_blocks`:
+    [B * rows * mb_w * 4, 64], already x-clip-fixed by the static path.
+    fix_mcu composes idempotently over the static x-fix: b0 is never
+    rewritten, b1 recomputes from b0, and the sh<=8 branch overwrites
+    b2/b3 unconditionally.
+    """
+    mb_x_max = width // 16
+    x_clip = mb_x_max < mb_w
+    sub_w = width - mb_x_max * 16
+    yb = y_blocks.reshape(-1, rows, mb_w, 4, 64)
+    idx = jnp.clip(clip_row, 0, rows - 1)
+    row = jax.lax.dynamic_slice_in_dim(yb, idx, 1, axis=1)[:, 0]
+    fixed = fix_mcu(row, 16, sub_h)
+    if x_clip:
+        corner = fix_mcu(row[:, mb_x_max], sub_w, sub_h)
+        fixed = fixed.at[:, mb_x_max].set(corner)
+    hit = (clip_row >= 0) & (clip_row < rows)
+    fixed = jnp.where(hit, fixed, row)
+    yb = jax.lax.dynamic_update_slice_in_dim(yb, fixed[:, None], idx,
+                                             axis=1)
     return yb.reshape(-1, 64)
 
 

@@ -94,10 +94,12 @@ def sum_u64_rows(x):
     return xhi[:, 0], xlo[:, 0]
 
 
-def store_histo(coeffs, n_images: int = 1):
+def store_histo(coeffs, n_images: int = 1, valid=None):
     """[N, 64] coeffs -> [64, MAX_HISTO_DCT_COEFF] int32 histogram
     (or [B, 64, bins] segmented per image when n_images > 1; rows must
-    be image-major with equal block counts).
+    be image-major with equal block counts).  `valid`: optional [N] bool
+    mask — blocks with False contribute nothing (sharded ragged stripes
+    exclude their out-of-image padding blocks).
 
     Bins |c| >> HSHIFT, dropping overflows past the last bin (the C
     reference semantics; the analysis never reads the overflow slot).
@@ -113,6 +115,8 @@ def store_histo(coeffs, n_images: int = 1):
     n_hi = nbins >> 4
     per = mag.shape[0] // n_images
     m3 = mag.reshape(n_images, per, 64)
+    v3 = (None if valid is None
+          else valid.reshape(n_images, per, 1, 1))
     hi_iota = jnp.arange(n_hi, dtype=jnp.int32)
     lo_iota = jnp.arange(16, dtype=jnp.int32)
     chunks = []
@@ -120,6 +124,8 @@ def store_histo(coeffs, n_images: int = 1):
         m = m3[:, :, p0:p0 + 8]      # operands to ~17 MB each
         e_hi = (((m >> 4)[..., None] == hi_iota)
                 & (m < nbins)[..., None]).astype(jnp.int8)
+        if v3 is not None:
+            e_hi = e_hi * v3.astype(jnp.int8)
         e_lo = ((m & 15)[..., None] == lo_iota).astype(jnp.int8)
         cnt = jax.lax.dot_general(
             e_hi, e_lo, (((1,), (1,)), ((0, 2), (0, 2))),

@@ -113,35 +113,74 @@ def _stripe_quantize(coeffs, iq, ib, nb_blocks, b_l: int):
 
 def _build_stages(mesh, yuv_mode: int, width: int, height: int,
                   nb_blocks, b: int, with_histo: bool, with_stats: bool,
-                  per_image_tables: bool, bucket: int):
-    """The three jitted shard_map stage programs."""
+                  per_image_tables: bool, bucket: int,
+                  rows_per_stripe: int, ragged: bool, sub_h_partial: int):
+    """The three jitted shard_map stage programs.
+
+    Ragged geometry (image MCU rows not divisible by sp, and/or a partial
+    last MCU row): images arrive host-padded to rows_per_stripe * sp MCU
+    rows; each stage takes per-stripe [sp] scalars (sharded over sp) —
+    `vrows` = number of real MCU rows in the stripe, `crow` = stripe-local
+    index of the image's partial MCU row.  Padding blocks are masked out
+    of histograms, symbol frequencies, and the bitstream (zero bits), so
+    the stitched stream is bit-identical to the unsharded encode."""
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
     b_l = b // dp
-    stripe_h = height // sp
+    mcu_h = 16 if yuv_mode == C.YUV_420 else 8
+    stripe_h = rows_per_stripe * mcu_h
     n_comps = len(nb_blocks)
+    mb_w = -(-width // mcu_h)
+    mcu_blocks = sum(nb_blocks)
 
-    def coeffs_shard(rgb):
-        blocks = colorspace.rgb_to_blocks(rgb, yuv_mode, width, stripe_h)
+    def comp_valid(v, c):
+        """[b_l * stripe blocks of component c] mask: MCU row < v."""
+        per_row = nb_blocks[c] * mb_w
+        rowi = jnp.arange(rows_per_stripe * per_row,
+                          dtype=jnp.int32) // per_row
+        return jnp.tile(rowi < v, b_l)
+
+    def inter_valid(v):
+        """Mask over MCU-interleaved blocks (all components)."""
+        per_row = mb_w * mcu_blocks
+        rowi = jnp.arange(rows_per_stripe * per_row,
+                          dtype=jnp.int32) // per_row
+        return jnp.tile(rowi < v, b_l)
+
+    def coeffs_shard(rgb, vrows, crow):
+        blocks = list(colorspace.rgb_to_blocks(rgb, yuv_mode, width,
+                                               stripe_h))
+        if ragged and yuv_mode == C.YUV_420 and sub_h_partial:
+            # the image's partial MCU row lands at a stripe-local index
+            # known only per shard: apply the AverageExtraLuma flatten
+            # dynamically (bit-identical to the static fixup)
+            blocks[0] = colorspace.average_extra_luma_dynamic_row(
+                blocks[0], rows_per_stripe, mb_w, width, sub_h_partial,
+                crow[0])
         coeffs = [fdct.fdct_blocks(x) for x in blocks]
         out = tuple(c.reshape(b_l, -1, 64) for c in coeffs)
         if not with_histo:
             return out
         # 2-D [B_l, 64*bins]: dense fetch layout (see engine._stage_coeffs)
-        hl = quantize.store_histo(coeffs[0], b_l).reshape(b_l, -1)
+        vl = comp_valid(vrows[0], 0) if ragged else None
+        hl = quantize.store_histo(coeffs[0], b_l,
+                                  valid=vl).reshape(b_l, -1)
         if n_comps > 1:
-            hc = (quantize.store_histo(coeffs[1], b_l)
-                  + quantize.store_histo(coeffs[2], b_l)).reshape(b_l, -1)
+            vc = comp_valid(vrows[0], 1) if ragged else None
+            hc = (quantize.store_histo(coeffs[1], b_l, valid=vc)
+                  + quantize.store_histo(coeffs[2], b_l,
+                                         valid=vc)).reshape(b_l, -1)
         else:
             hc = jnp.zeros_like(hl)
         return out + (jax.lax.psum(hl, _AXIS), jax.lax.psum(hc, _AXIS))
 
     cspec = tuple(P("dp", "sp", None) for _ in range(n_comps))
     coeffs_out = cspec + ((P("dp"), P("dp")) if with_histo else ())
+    sspec = P("sp")
     stage_coeffs = jax.jit(_shard_map(
-        coeffs_shard, mesh, in_specs=(P("dp", "sp"),),
+        coeffs_shard, mesh, in_specs=(P("dp", "sp"), sspec, sspec),
         out_specs=coeffs_out))
 
-    def quant_shard(coeffs, iq, ib):
+    def quant_shard(coeffs, iq, ib, vrows):
         rl, dc_codes, group = _stripe_quantize(list(coeffs), iq, ib,
                                                tuple(nb_blocks), b_l)
         per_l = dc_codes.shape[0] // b_l
@@ -150,7 +189,9 @@ def _build_stages(mesh, yuv_mode: int, width: int, height: int,
                group.reshape(b_l, per_l))
         if not with_stats:
             return out
-        fdc, fac = engine._grouped_stats(rl, dc_codes, group, b_l)
+        vmask = inter_valid(vrows[0]) if ragged else None
+        fdc, fac = engine._grouped_stats(rl, dc_codes, group, b_l,
+                                         valid=vmask)
         fdc = jax.lax.psum(fdc.reshape(b_l, 2, -1), _AXIS)
         fac = jax.lax.psum(fac.reshape(b_l, 2, -1), _AXIS)
         return out, fdc, fac
@@ -161,24 +202,25 @@ def _build_stages(mesh, yuv_mode: int, width: int, height: int,
     qout = (st_spec, P("dp"), P("dp")) if with_stats else st_spec
     stage_quant = jax.jit(_shard_map(
         quant_shard, mesh,
-        in_specs=(cspec, P("dp"), P("dp")), out_specs=qout))
+        in_specs=(cspec, P("dp"), P("dp"), sspec), out_specs=qout))
 
-    def pack_shard(state, dc_luts, ac_luts):
+    def pack_shard(state, dc_luts, ac_luts, vrows):
         rl, dc_codes, group = state
         per_l = dc_codes.shape[1]
         flat = ({k: v.reshape(b_l * per_l, -1) for k, v in rl.items()},
                 dc_codes.reshape(-1), group.reshape(-1))
         flat[0]["last"] = flat[0]["last"].reshape(-1)
+        vmask = inter_valid(vrows[0]) if ragged else None
         words, totals = engine._stage_batch_pack(
             flat, dc_luts, ac_luts, n_images=b_l, bucket=bucket,
-            per_image_tables=per_image_tables)
+            per_image_tables=per_image_tables, block_valid=vmask)
         return (words.reshape(b_l, 1, bucket),
                 totals.reshape(b_l, 1))
 
     lut_spec = P("dp") if per_image_tables else P()
     stage_pack = jax.jit(_shard_map(
         pack_shard, mesh,
-        in_specs=(st_spec, lut_spec, lut_spec),
+        in_specs=(st_spec, lut_spec, lut_spec, sspec),
         out_specs=(P("dp", "sp", None), P("dp", "sp"))))
     return stage_coeffs, stage_quant, stage_pack
 
@@ -208,10 +250,14 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
 
     Returns a list of JPEG byte strings, byte-identical to
     `engine.encode_batch` / per-image `encode_rgb`.  Requirements for the
-    sharded fast path: B divisible by mesh dp, image MCU rows divisible by
-    mesh sp, a pinned or uniformly-auto-decided YUV mode, single-pass
-    methods 0-6.  Anything else transparently delegates to the unsharded
-    engine (same bytes, no mesh).
+    sharded fast path: a pinned or uniformly-auto-decided YUV mode and
+    single-pass methods 0-6.  Ragged geometry is handled natively: images
+    whose MCU rows don't divide by sp (e.g. 1080p on sp=8) are edge-padded
+    to whole stripes with the padding rows masked out of statistics and
+    the bitstream, and a batch not divisible by dp is padded with dummy
+    images whose outputs are dropped.  Anything else (sharp/mixed-auto
+    modes, trellis, searches, ragged multi-process batches) transparently
+    delegates to the unsharded engine (same bytes, no mesh).
 
     Multi-host (`jax.process_count() > 1`, dp laid across processes via
     `mesh.make_mesh`): `rgbs` is each process's LOCAL images (equal count
@@ -244,8 +290,8 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
         w, h)
     delegate = (yuv_mode in (C.YUV_SHARP, C.YUV_AUTO)
                 or flags["use_trellis"]
-                or param.passes > 1 or b % dp != 0
-                or layout.mb_h % sp != 0)
+                or param.passes > 1
+                or (b % dp != 0 and _multiproc()))
     if delegate:
         # param/shape-driven (process-consistent) fallback; under
         # multi-process each host encodes its local images unsharded
@@ -253,6 +299,18 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
               else dataclasses.replace(param, yuv_mode=yuv_mode))
         return engine.encode_batch(rgbs, p2, bits_per_pixel_budget,
                                    share_statistics)
+
+    # ragged batch: pad to a dp multiple with copies of image 0 (their
+    # outputs are dropped); single-process only — multi-process ragged
+    # batches delegated above
+    b_real_local = b_local
+    rgbs_np = np.asarray(rgbs)
+    if b % dp != 0:
+        pad_b = -(-b // dp) * dp - b
+        rgbs_np = np.concatenate(
+            [rgbs_np, np.broadcast_to(rgbs_np[:1],
+                                      (pad_b,) + rgbs_np.shape[1:])])
+        b = b_local = b + pad_b
 
     nb_blocks = tuple(layout.nb_blocks)
     n_groups = 2 if layout.nb_comps > 1 else 1
@@ -262,7 +320,23 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
         param.quantization_bias) for i in range(2)]
     defaults = k3_default_tables()
 
-    per_img_blocks = layout.mb_w * layout.mb_h * sum(nb_blocks)
+    # ragged rows: stripes hold ceil(mb_h / sp) whole MCU rows; images are
+    # edge-padded to sp full stripes and the padding rows masked out
+    mcu_h = 16 if yuv_mode == C.YUV_420 else 8
+    rows_per_stripe = -(-layout.mb_h // sp)
+    h_pad = rows_per_stripe * mcu_h * sp
+    ragged = h_pad != h
+    sub_h_partial = h - (layout.mb_h - 1) * mcu_h if h % mcu_h else 0
+    if h_pad != rgbs_np.shape[1]:
+        rgbs_np = np.pad(
+            rgbs_np, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)),
+            mode="edge")
+    srows = np.arange(sp, dtype=np.int32) * rows_per_stripe
+    vrows_np = np.clip(layout.mb_h - srows, 0, rows_per_stripe)
+    crow_np = ((layout.mb_h - 1) - srows if sub_h_partial
+               else np.full(sp, -1, np.int32)).astype(np.int32)
+
+    per_img_blocks = layout.mb_w * rows_per_stripe * sp * sum(nb_blocks)
     bucket = int(min(per_img_blocks // sp * pack.WORDS_PER_BLOCK,
                      max(1024, w * h * bits_per_pixel_budget / 32 / sp)))
     # per-image LUT arrays also carry per-HOST shared tables multi-process
@@ -274,10 +348,15 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
         mesh, yuv_mode, w, h, nb_blocks, b,
         with_histo=flags["use_adaptive_quant"],
         with_stats=flags["optimize_size"],
-        per_image_tables=per_image_tables, bucket=bucket)
+        per_image_tables=per_image_tables, bucket=bucket,
+        rows_per_stripe=rows_per_stripe, ragged=ragged,
+        sub_h_partial=sub_h_partial)
 
-    batch_g = _global_dp(mesh, np.asarray(rgbs), P("dp", "sp"))
-    outs = stage_coeffs(batch_g)
+    sp_sharding = NamedSharding(mesh, P("sp"))
+    vrows_g = jax.device_put(vrows_np, sp_sharding)
+    crow_g = jax.device_put(crow_np, sp_sharding)
+    batch_g = _global_dp(mesh, rgbs_np, P("dp", "sp"))
+    outs = stage_coeffs(batch_g, vrows_g, crow_g)
     if flags["use_adaptive_quant"]:
         coeffs = outs[:layout.nb_comps]
         hl, _ = _fetch_dp(outs[-2])
@@ -314,7 +393,7 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
     ib = _global_dp(mesh, np.stack([[q["bias"] for q in qms]
                                     for qms in per_qms]).astype(np.int32))
 
-    qouts = stage_quant(tuple(coeffs), iq, ib)
+    qouts = stage_quant(tuple(coeffs), iq, ib, vrows_g)
     if flags["optimize_size"]:
         state, fdc, fac = qouts
         fdc, _ = _fetch_dp(fdc)
@@ -349,7 +428,7 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
         per_tables = [tables] * b_local
         dc_luts, ac_luts = engine._device_luts(tables)
 
-    words, totals = stage_pack(state, dc_luts, ac_luts)
+    words, totals = stage_pack(state, dc_luts, ac_luts, vrows_g)
     shard_totals, _ = _fetch_dp(totals)                   # [B_local, S]
     overflow = (shard_totals > bucket * 32).any(axis=1)
     img_words_g, img_totals_g = _make_stitch(mesh)(words, totals)
@@ -357,10 +436,10 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
     img_totals, _ = _fetch_dp(img_totals_g)
 
     out = []
-    for i in range(b_local):
+    for i in range(min(b_local, b_real_local)):
         if overflow[i]:        # per-stripe bucket overflow: slow refetch
             p2 = dataclasses.replace(param, yuv_mode=yuv_mode)
-            out.append(engine.encode_rgb(np.asarray(rgbs[i]), p2))
+            out.append(engine.encode_rgb(rgbs_np[i, :h], p2))
             continue
         scan = engine._finalize_scan_bytes(img_words[i], int(img_totals[i]))
         out.append(engine._assemble_jpeg(layout, param, per_qms[i],

@@ -56,13 +56,47 @@ def test_sharded_share_statistics_valid():
     assert got == want
 
 
-def test_sharded_delegates_unaligned():
-    """Heights that do not split into sp MCU-aligned stripes fall back to
-    the unsharded engine and still return the identical bytes."""
+def test_sharded_ragged_tiny():
+    """Fewer MCU rows than stripes (40px -> 3 rows on sp=8): most stripes
+    are all-padding and must contribute zero bits/statistics."""
     mesh = _mesh(1, 8)
     imgs = _imgs(2, 40, 40)     # 40px -> 3 luma MCU rows, not % 8
     p = EncoderParam(quality=75, yuv_mode=C.YUV_420)
     got = encode_batch_sharded(imgs, p, mesh=mesh)
     from sjpeg_tpu.engine import encode_rgb
     for i in range(len(imgs)):
+        assert got[i] == encode_rgb(imgs[i], p)
+
+
+@pytest.mark.parametrize("h,w,mode,m4", [
+    (120, 176, C.YUV_420, False),   # partial last MCU row (sub_h=8), rows%sp==0
+    (97, 65, C.YUV_420, False),     # ragged rows + partial row + x-clip
+    (97, 65, C.YUV_420, True),      # same with adaptive + two-pass tables
+    (100, 52, C.YUV_444, True),     # 444: 13 8px rows on sp=4 + partial
+    (270, 120, C.YUV_420, False),   # 1080p-like: 17 MCU rows on sp=4
+])
+def test_sharded_ragged_byte_identical(h, w, mode, m4):
+    """Ragged stripe geometry (VERDICT r2 item 5): images whose MCU rows
+    don't divide by sp — including a partial last MCU row with the
+    AverageExtraLuma flatten — take the sharded fast path and stay
+    byte-identical to the serial engine."""
+    mesh = _mesh(2, 4)
+    imgs = _imgs(4, h, w, seed0=3)
+    p = EncoderParam(quality=80, yuv_mode=mode, huffman_compress=m4,
+                     adaptive_quantization=m4)
+    got = encode_batch_sharded(imgs, p, mesh=mesh)
+    from sjpeg_tpu.engine import encode_rgb
+    for i in range(len(imgs)):
+        assert got[i] == encode_rgb(imgs[i], p), (h, w, mode, m4, i)
+
+
+def test_sharded_ragged_batch():
+    """B not divisible by dp: padded with dummy images, outputs dropped."""
+    mesh = _mesh(2, 4)
+    imgs = _imgs(3, 64, 48, seed0=5)
+    p = EncoderParam(quality=75, yuv_mode=C.YUV_420)
+    got = encode_batch_sharded(imgs, p, mesh=mesh)
+    assert len(got) == 3
+    from sjpeg_tpu.engine import encode_rgb
+    for i in range(3):
         assert got[i] == encode_rgb(imgs[i], p)
