@@ -523,10 +523,17 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
         # per-image riskiness decisions on device (reference semantics:
         # each image picks its own mode, src/enc.cc:2132-2154); the batch
         # splits into per-mode sub-batches
-        from .ops import riskiness as dev_risk
-        ss, cc, gg = jax.device_get(dev_risk.risk_stats(jnp.asarray(rgbs)))
-        modes = [dev_risk.finish_riskiness(ss[i], cc[i], gg[i], w, h)[0]
-                 for i in range(b)]
+        from . import riskiness as host_risk
+        if host_risk.exact_table_active():
+            rn = np.asarray(rgbs)
+            modes = [host_risk.riskiness(rn[i])[0] for i in range(b)]
+        else:
+            from .ops import riskiness as dev_risk
+            ss, cc, gg = jax.device_get(
+                dev_risk.risk_stats(jnp.asarray(rgbs)))
+            modes = [dev_risk.finish_riskiness(ss[i], cc[i], gg[i],
+                                               w, h)[0]
+                     for i in range(b)]
         groups = {}
         for i, m in enumerate(modes):
             groups.setdefault(m, []).append(i)
@@ -1809,10 +1816,14 @@ def encode_rgb(rgb: np.ndarray, param: Optional[EncoderParam] = None) -> bytes:
     yuv_mode = param.yuv_mode
     dev_rgb = jnp.asarray(rgb)
     if yuv_mode == C.YUV_AUTO:
-        # riskiness reduction on the device copy (ops/riskiness.py);
-        # only three scalars come back to pick the mode
-        from .ops.riskiness import riskiness_device
-        yuv_mode, _ = riskiness_device(dev_rgb)
+        from . import riskiness as host_risk
+        if host_risk.exact_table_active():
+            yuv_mode, _ = host_risk.riskiness(np.asarray(rgb))
+        else:
+            # riskiness reduction on the device copy (ops/riskiness.py);
+            # only three scalars come back to pick the mode
+            from .ops.riskiness import riskiness_device
+            yuv_mode, _ = riskiness_device(dev_rgb)
     if yuv_mode == C.YUV_SHARP:
         # device-resident sharp conversion (plane-exact vs the host
         # oracle); the planes feed encode_yuv without leaving the chip

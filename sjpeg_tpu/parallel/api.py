@@ -277,10 +277,17 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
 
     yuv_mode = param.yuv_mode
     if yuv_mode == C.YUV_AUTO and not _multiproc():
-        from ..ops import riskiness as dev_risk
-        ss, cc, gg = jax.device_get(dev_risk.risk_stats(jnp.asarray(rgbs)))
-        modes = {dev_risk.finish_riskiness(ss[i], cc[i], gg[i], w, h)[0]
-                 for i in range(b)}
+        from .. import riskiness as host_risk
+        if host_risk.exact_table_active():
+            rn = np.asarray(rgbs)
+            modes = {host_risk.riskiness(rn[i])[0] for i in range(b)}
+        else:
+            from ..ops import riskiness as dev_risk
+            ss, cc, gg = jax.device_get(
+                dev_risk.risk_stats(jnp.asarray(rgbs)))
+            modes = {dev_risk.finish_riskiness(ss[i], cc[i], gg[i],
+                                               w, h)[0]
+                     for i in range(b)}
         if len(modes) > 1:
             return engine.encode_batch(rgbs, param, bits_per_pixel_budget,
                                        share_statistics)

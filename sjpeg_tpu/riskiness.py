@@ -8,7 +8,7 @@ are scored through a [343, 343] sharpness table, scores above a noise floor
 average into a 0..100 risk, and thresholds 40 / 70 / gray>0.995 pick the
 mode.
 
-The pair-score table itself is NOT copied from the reference (whose
+The default pair-score table is NOT copied from the reference (whose
 `score_7.cc` is an opaque generated artifact).  It is regenerated here from
 an explicit physical model — the RGB-space error a chroma-averaged edge
 incurs, attenuated by luma-contrast masking — with two scalars calibrated so
@@ -16,13 +16,42 @@ mode decisions match the reference encoder on a synthetic corpus (see
 tests/test_riskiness.py).  Risk percentages therefore track the reference
 closely but are not bit-identical; the decision thresholds and all the
 surrounding arithmetic are.
+
+For bit-identical risk scores (CLI `-i` output parity), the reference's
+generated 7^6-entry table ships as a data asset
+(assets/sharpness_score.npz, extracted from src/score_7.cc:23-24 — table
+DATA, like the Annex-K quantization/Huffman tables) and can be enabled
+with `use_exact_table(True)` or SJPEG_EXACT_RISKINESS=1.  The regenerated
+model stays the default; with the exact table active, AUTO-mode decisions
+route through this host scorer instead of the closed-form device kernel.
 """
 
 import functools
+import os
+from pathlib import Path
 
 import numpy as np
 
 from . import constants as C
+
+_EXACT = bool(int(os.environ.get("SJPEG_EXACT_RISKINESS", "0") or 0))
+
+
+def use_exact_table(enable: bool = True) -> None:
+    """Toggle the reference's exact sharpness table (see module doc)."""
+    global _EXACT
+    _EXACT = bool(enable)
+    sharpness_table.cache_clear()
+
+
+def exact_table_active() -> bool:
+    return _EXACT
+
+
+@functools.lru_cache(maxsize=1)
+def _exact_table() -> np.ndarray:
+    path = Path(__file__).parent / "assets" / "sharpness_score.npz"
+    return np.load(path)["table"]
 
 KRGB = 7
 KRGB3 = KRGB ** 3
@@ -45,7 +74,9 @@ _MASK_DY = np.array([1.00, 1.03, 1.01, 0.98, 0.94, 0.88, 0.76])
 def sharpness_table() -> np.ndarray:
     """[343 * 343] uint8 pair-risk table.
 
-    Perceptual model of the error a 4:2:0 chroma-averaged edge incurs for a
+    With the exact-table flag active (see module doc) this returns the
+    reference's generated kSharpnessScore asset verbatim.  Otherwise:
+    perceptual model of the error a 4:2:0 chroma-averaged edge incurs for a
     pair of 7-level-quantized YUV colors:
 
         score = (w_du * |du| + w_dv * |dv|) * vis(y) * mask(|dy|)
@@ -54,6 +85,8 @@ def sharpness_table() -> np.ndarray:
     window (chroma artifacts are most visible at mid-gray) and mask() is a
     weak luma-contrast masking term.
     """
+    if _EXACT:
+        return _exact_table()
     idx = np.arange(KRGB3)
     y = idx % KRGB
     u = (idx // KRGB) % KRGB

@@ -119,3 +119,30 @@ def test_block_riskiness_runs():
     risk, scores = R.block_riskiness(block)
     assert 0.0 <= risk <= 100.0
     assert scores.shape == (8, 8)
+
+
+def test_exact_riskiness_table_matches_reference(reference_bin, ppm_dir):
+    """With the exact-table flag, risk percentages (CLI -i output) are
+    bit-identical to the reference binary's printed riskiness."""
+    import re
+    import subprocess
+    from conftest import make_test_image, write_ppm
+    from sjpeg_tpu import riskiness as R
+
+    R.use_exact_table(True)
+    try:
+        for seed in (1, 5, 9):
+            rgb = make_test_image(56, 40, seed=seed)
+            ppm = ppm_dir / f"exr{seed}.ppm"
+            write_ppm(ppm, rgb)
+            out = subprocess.run(
+                [str(reference_bin), str(ppm), "-o",
+                 str(ppm_dir / f"exr{seed}.jpg"), "-i"],
+                capture_output=True, text=True, check=True)
+            m = re.search(r"Riskiness:\s*([0-9.]+)", out.stdout)
+            assert m, out.stdout
+            want = float(m.group(1))
+            mode, risk = R.riskiness(rgb)
+            assert abs(risk - want) < 0.05, (seed, risk, want)
+    finally:
+        R.use_exact_table(False)
