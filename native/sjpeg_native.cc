@@ -94,4 +94,58 @@ uint64_t sjpeg_merge_streams(const uint32_t* words, size_t words_stride,
   return pos;
 }
 
+
+// Huffman merge: code lengths from symbol frequencies, mirroring
+// sjpeg_tpu.huffman.build_optimal_table's Python merge loop exactly
+// (sorted-key list with tie-breaking indices, a fake lowest-frequency
+// symbol at index `size` for the forbidden all-ones code, subtree-member
+// traversal on every merge).  Only the O(n^2)-ish merge runs natively;
+// the bits histogram / counting sort / <=16-bit rebalance stay in Python.
+// freq: uint64[size]; codesizes: int32[size + 1] (zero-initialized here).
+void sjpeg_huffman_codesizes(const uint64_t* freq, int size,
+                             int32_t* codesizes) {
+  // keys sorted decreasing; key = (freq << 9) | index
+  uint64_t keys[258];
+  int nb = 0;
+  for (int i = 0; i < size; ++i) {
+    if (freq[i] > 0) keys[nb++] = (freq[i] << 9) | (uint64_t)i;
+  }
+  // insertion sort, decreasing (n <= 257 — fine)
+  for (int i = 1; i < nb; ++i) {
+    uint64_t k = keys[i];
+    int j = i - 1;
+    while (j >= 0 && keys[j] < k) { keys[j + 1] = keys[j]; --j; }
+    keys[j + 1] = k;
+  }
+  keys[nb++] = (1ULL << 9) | (uint64_t)size;   // fake all-ones symbol
+
+  // subtree member lists as singly linked chains per slot index
+  int head[257], tail[257], nxt[257];
+  for (int i = 0; i <= size; ++i) {
+    head[i] = tail[i] = i;
+    nxt[i] = -1;
+    codesizes[i] = 0;
+  }
+
+  while (nb > 1) {
+    uint64_t s1 = keys[nb - 2];
+    uint64_t s2 = keys[nb - 1];
+    int i = (int)(s1 & 0x1FF);
+    int j = (int)(s2 & 0x1FF);
+    nxt[tail[i]] = head[j];
+    tail[i] = tail[j];
+    for (int leaf = head[i]; leaf != -1; leaf = nxt[leaf]) {
+      codesizes[leaf] += 1;
+    }
+    uint64_t merged = s1 + (s2 & ~0x1FFULL);
+    nb -= 1;
+    int k = nb - 1;
+    while (k > 0 && keys[k - 1] < merged) {
+      keys[k] = keys[k - 1];
+      --k;
+    }
+    keys[k] = merged;
+  }
+}
+
 }  // extern "C"

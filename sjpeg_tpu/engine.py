@@ -1228,6 +1228,14 @@ def _stage_count_stuffing_batch(words, totals):
                    axis=1)
 
 
+@jax.jit
+def _stage_eval_size_batch(words, totals):
+    """[2, B] stacked (total bits, stuffing-byte count) — one fetch per
+    search pass instead of two."""
+    return jnp.stack([totals.astype(jnp.int32),
+                      _stage_count_stuffing_batch(words, totals)])
+
+
 def _batch_qerr(coeffs, iquant3, ibias3, quant3, n_images: int):
     """Per-image exact uint64 squared quantization error (PSNR search):
     per-component [N, 64] coeffs (image-major rows) against [B, 2, 64]
@@ -1413,8 +1421,11 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
             tabs, dcl, acl, per_tabs = build_tables(freqs)
             words, totals = batched_pack(iq3, ib3, dcl, acl, per_tabs,
                                          bucket)
-            stuffs = np.asarray(_stage_count_stuffing_batch(words, totals))
-            totals_np = np.asarray(totals)
+            # one [2, B] fetch for (totals, stuffing counts): per-pass
+            # evaluation costs a single device round trip (the dev
+            # tunnel's ~40 ms RPC latency dominates the search loop)
+            ts = np.asarray(_stage_eval_size_batch(words, totals))
+            totals_np, stuffs = ts[0], ts[1]
             results = []
             for i in range(b):
                 if (totals_np[i] == 0x7FFFFFFF

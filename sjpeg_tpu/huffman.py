@@ -89,66 +89,64 @@ def build_optimal_table(freq: np.ndarray, size: int) -> HuffmanTable:
     MAX_BITS = 32
     MAX_CODE_SIZE = 16
 
-    # Pack (freq, index) so sorting breaks frequency ties by index, matching
-    # the reference's uint64 keys.
-    keys = [(int(freq[i]) << 9) | i for i in range(size) if freq[i] > 0]
-    keys.sort(reverse=True)
-    nb_syms = len(keys)
+    nb_syms = int((np.asarray(freq[:size]) > 0).sum())
 
-    codesizes = [0] * (size + 1)
-    # members[i]: indices of all leaves currently inside the subtree rooted at
-    # slot i (the reference maintains this as an intrusive linked list).
-    members = {i: [i] for i in range(size + 1)}
+    from . import native
+    native_sizes = native.huffman_codesizes(np.asarray(freq), size)
+    if native_sizes is not None:
+        codesizes = native_sizes.tolist()
+    else:
+        # Pack (freq, index) so sorting breaks frequency ties by index,
+        # matching the reference's uint64 keys.
+        keys = [(int(freq[i]) << 9) | i for i in range(size) if freq[i] > 0]
+        keys.sort(reverse=True)
 
-    # Fake lowest-frequency symbol -> will own the all-ones code, then dropped.
-    keys.append((1 << 9) | size)
+        codesizes = [0] * (size + 1)
+        # members[i]: indices of all leaves currently inside the subtree
+        # rooted at slot i (the reference keeps an intrusive linked list).
+        members = {i: [i] for i in range(size + 1)}
 
-    nb = len(keys)
-    while nb > 1:
-        s1 = keys[nb - 2]
-        s2 = keys[nb - 1]
-        i = s1 & 0x1FF
-        j = s2 & 0x1FF
-        members[i] = members[i] + members[j]
-        for leaf in members[i]:
-            codesizes[leaf] += 1
-        merged = s1 + (s2 & ~0x1FF)
-        # insertion into the sorted (decreasing) prefix keys[0:nb-1]
-        nb -= 1
-        k = nb - 1
-        while k > 0 and keys[k - 1] < merged:
-            keys[k] = keys[k - 1]
-            k -= 1
-        keys[k] = merged
-        del keys[nb]
+        # Fake lowest-frequency symbol -> owns the all-ones code, dropped.
+        keys.append((1 << 9) | size)
+
+        nb = len(keys)
+        while nb > 1:
+            s1 = keys[nb - 2]
+            s2 = keys[nb - 1]
+            i = s1 & 0x1FF
+            j = s2 & 0x1FF
+            members[i] = members[i] + members[j]
+            for leaf in members[i]:
+                codesizes[leaf] += 1
+            merged = s1 + (s2 & ~0x1FF)
+            # insertion into the sorted (decreasing) prefix keys[0:nb-1]
+            nb -= 1
+            k = nb - 1
+            while k > 0 and keys[k - 1] < merged:
+                keys[k] = keys[k - 1]
+                k -= 1
+            keys[k] = merged
+            del keys[nb]
 
     # Histogram of code lengths (clamping ultra-rare symbols at MAX_BITS).
-    bits = [0] * MAX_BITS
-    max_bit_size = 0
-    for i in range(size + 1):
-        s = codesizes[i]
-        if s > 0:
-            if s > MAX_BITS:
-                s = MAX_BITS
-                codesizes[i] = MAX_BITS
-            bits[s - 1] += 1
-            max_bit_size = max(max_bit_size, s)
+    cs = np.minimum(np.asarray(codesizes, dtype=np.int64), MAX_BITS)
+    nzmask = cs > 0
+    bits_np = np.bincount(cs[nzmask], minlength=MAX_BITS + 1)[1:]
+    bits = bits_np.tolist()
+    max_bit_size = int(cs.max())
+    assert int(nzmask.sum()) == nb_syms + 1
 
-    # Counting sort of symbols into increasing-code-length slices; symbols of
-    # equal length stay in increasing symbol order.  The fake symbol (#size)
-    # is excluded.
-    start = [0] * MAX_BITS
-    position = 0
-    for i in range(max_bit_size):
-        start[i] = position
-        position += bits[i]
-    assert position == nb_syms + 1
-    syms = np.zeros(nb_syms + 1, dtype=np.uint8)
-    for symbol in range(size):
-        s = codesizes[symbol]
-        if s > 0:
-            syms[start[s - 1]] = symbol
-            start[s - 1] += 1
+    # Sort symbols into increasing-code-length slices; symbols of equal
+    # length stay in increasing symbol order (stable sort over symbol
+    # order).  The fake symbol (#size) reserves the LAST slot of its own
+    # length slice (the counting sort fills real symbols from each slice's
+    # start and never writes the fake), left as 0.
+    real = nzmask[:size]
+    lens_real = cs[:size][real]
+    order = np.argsort(lens_real, kind="stable")
+    sorted_syms = np.arange(size)[real][order]
+    fake_pos = int((lens_real <= cs[size]).sum())
+    syms = np.insert(sorted_syms, fake_pos, 0).astype(np.uint8)
 
     # Rebalance code lengths to <= 16 bits: move leaf pairs up, sink one leaf.
     for l in range(max_bit_size - 1, MAX_CODE_SIZE - 1, -1):

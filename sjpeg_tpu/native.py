@@ -41,9 +41,29 @@ def _load():
             lib.sjpeg_merge_streams.argtypes = [
                 ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
                 ctypes.c_size_t, ctypes.c_void_p]
+            try:
+                lib.sjpeg_huffman_codesizes.restype = None
+                lib.sjpeg_huffman_codesizes.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+            except AttributeError:   # older library build
+                pass
             _LIB = lib
             break
     return _LIB
+
+
+def huffman_codesizes(freq: np.ndarray, size: int):
+    """Huffman-merge code lengths (the hot loop of
+    huffman.build_optimal_table); returns int32[size + 1] or None when the
+    native library is absent."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sjpeg_huffman_codesizes"):
+        return None
+    f = np.ascontiguousarray(freq[:size], dtype=np.uint64)
+    out = np.zeros(size + 1, dtype=np.int32)
+    lib.sjpeg_huffman_codesizes(f.ctypes.data_as(ctypes.c_void_p), size,
+                                out.ctypes.data_as(ctypes.c_void_p))
+    return out
 
 
 def available() -> bool:
