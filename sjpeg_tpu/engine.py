@@ -840,13 +840,45 @@ def _batch_blocks(src, yuv_mode: int, width: int, height: int,
     return colorspace.rgb_to_blocks(src, yuv_mode, width, height)
 
 
+def _batch_blocks_i8(src, yuv_mode: int, width: int, height: int,
+                     src_kind: str):
+    """int8-transport front end for XLA-consumer stages (TPU): blockize
+    relayout copies move a quarter of the int32 bytes, then widen back to
+    exact int32 rows (RGB chroma +128 wrap decoded; see
+    colorspace.rgb_to_blocks)."""
+    if src_kind == "planes":
+        blocks = colorspace.planes_to_blocks(src, yuv_mode, width, height,
+                                             out_dtype=jnp.int8)
+        wrap = False
+    else:
+        blocks = colorspace.rgb_to_blocks(src, yuv_mode, width, height,
+                                          out_dtype=jnp.int8)
+        wrap = True
+    out = []
+    for c, b in enumerate(blocks):
+        b32 = b.astype(jnp.int32)
+        if wrap and c > 0:
+            b32 = jnp.where(b32 == -128, 128, b32)
+        out.append(b32)
+    return out
+
+
+def _batch_blocks_fast(src, yuv_mode: int, width: int, height: int,
+                       src_kind: str):
+    """int8 transport on accelerators, plain int32 on CPU (identical
+    values either way)."""
+    if jax.default_backend() != "cpu":
+        return _batch_blocks_i8(src, yuv_mode, width, height, src_kind)
+    return _batch_blocks(src, yuv_mode, width, height, src_kind)
+
+
 @functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
                                              "stats_images", "src_kind"))
 def _stage_batch_histos_fused(src, yuv_mode: int, width: int, height: int,
                               stats_images: int, src_kind: str = "rgb"):
     """color + fDCT + coefficient histograms in ONE program; only the
     flat (dense-layout) histograms leave the device."""
-    blocks = _batch_blocks(src, yuv_mode, width, height, src_kind)
+    blocks = _batch_blocks_fast(src, yuv_mode, width, height, src_kind)
     coeffs = [fdct.fdct_blocks(x) for x in blocks]
     histo_l = quantize.store_histo(coeffs[0], stats_images)
     if len(coeffs) > 1:
@@ -873,7 +905,7 @@ def _stage_batch_freqs_fused(src, iquant, ibias, yuv_mode: int, width: int,
                              stats_images: int, src_kind: str = "rgb"):
     """front end + quantize + symbol statistics in ONE program; only the
     per-image (or batch-aggregated) frequencies leave the device."""
-    blocks = _batch_blocks(src, yuv_mode, width, height, src_kind)
+    blocks = _batch_blocks_fast(src, yuv_mode, width, height, src_kind)
     coeffs = [fdct.fdct_blocks(x) for x in blocks]
     rl, dc_codes, group = _interleave_quantized(coeffs, iquant, ibias,
                                                 nb_blocks, n_images)
@@ -893,9 +925,17 @@ def _encode_batch_opt_core(src, iquant, ibias, dc_luts, ac_luts, *,
     stream through the fused in-kernel-fDCT path (per-image quantizer
     rows / Huffman LUTs selected by grid index maps); XLA fallback keeps
     the staged coefficient route."""
-    blocks = _batch_blocks(src, yuv_mode, width, height, src_kind)
     chroma_wrap = src_kind == "rgb"
     if jax.default_backend() != "cpu":
+        # int8 transport straight from the blockize transposes (the
+        # samples-in kernel takes int8; wrap decoded in-kernel)
+        if src_kind == "planes":
+            blocks = colorspace.planes_to_blocks(src, yuv_mode, width,
+                                                 height,
+                                                 out_dtype=jnp.int8)
+        else:
+            blocks = colorspace.rgb_to_blocks(src, yuv_mode, width,
+                                              height, out_dtype=jnp.int8)
         from .ops import pallas_quant_pack, pallas_tree_concat
         sinter, dc_codes, group = _interleave_samples(
             blocks, iquant, ibias, nb_blocks, n_images,
@@ -942,6 +982,7 @@ def _encode_batch_opt_core(src, iquant, ibias, dc_luts, ac_luts, *,
                 words = jnp.where(valid[:, None], words, 0)
         return pallas_tree_concat.concat_block_streams_tree(
             words, bit_lens, n_images=n_images, bucket=bucket)
+    blocks = _batch_blocks(src, yuv_mode, width, height, src_kind)
     coeffs = [fdct.fdct_blocks(x) for x in blocks]
     vlc_state = _interleave_quantized(coeffs, iquant, ibias, nb_blocks,
                                       n_images)
@@ -1265,7 +1306,7 @@ def _stage_batch_qerr_fused(src, iquant3, ibias3, quant3, yuv_mode: int,
                             src_kind: str = "rgb"):
     """Relay variant: front end + per-image quantize-error in ONE program
     (only two [B] uint32 vectors leave the device)."""
-    blocks = _batch_blocks(src, yuv_mode, width, height, src_kind)
+    blocks = _batch_blocks_fast(src, yuv_mode, width, height, src_kind)
     coeffs = [fdct.fdct_blocks(x) for x in blocks]
     return _batch_qerr(coeffs, iquant3, ibias3, quant3, n_images)
 

