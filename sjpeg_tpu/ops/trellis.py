@@ -94,8 +94,18 @@ def trellis_quantize_blocks_jax(coeffs, iquant, ibias, quant, lt):
 
     sign = jnp.where(neg, -1, 1).astype(jnp.int32)
 
+    # carry packing: (valid, prev, level) ride one int32 per lane —
+    # valid<<19 | prev<<12 | (level + 2048) — halving the scan's
+    # HBM-resident carry traffic (prev < 128, |level| <= 2047)
+    def _pack_vpl(valid, prev, level):
+        return ((valid.astype(jnp.int32) << 19) | (prev << 12)
+                | (level + 2048))
+
     def step(carry, x):
-        S, valid, prev, level = carry
+        S, vpl = carry
+        valid = (vpl >> 19) > 0
+        prev = (vpl >> 12) & 0x7F
+        level = (vpl & 0xFFF) - 2048
         (i, V_i, v0_i, nb0_i, q_i, lam_i, d0p_i, sg_i) = x
         # candidates: c=0 full value, c=1 largest one bit shorter
         nb1 = nb0_i - 1
@@ -156,7 +166,7 @@ def trellis_quantize_blocks_jax(coeffs, iquant, ibias, quant, lt):
         valid = upd(valid, newv)
         prev = upd(prev, arg)
         level = upd(level, lvl)
-        return (S, valid, prev, level), None
+        return (S, _pack_vpl(valid, prev, level)), None
 
     ii = jnp.arange(1, 64, dtype=jnp.int32)
     xs = (ii, V.T[1:], v0.T[1:], nb0.T[1:], qz.T[1:], lam.T[1:],
@@ -165,8 +175,11 @@ def trellis_quantize_blocks_jax(coeffs, iquant, ibias, quant, lt):
     valid0 = jnp.zeros((N, 128), jnp.bool_).at[:, _SINK].set(True)
     prev0 = jnp.zeros((N, 128), jnp.int32)
     level0 = jnp.zeros((N, 128), jnp.int32)
-    (S, valid, prev, level), _ = jax.lax.scan(
-        step, (S0, valid0, prev0, level0), xs)
+    (S, vpl), _ = jax.lax.scan(
+        step, (S0, _pack_vpl(valid0, prev0, level0)), xs)
+    valid = (vpl >> 19) > 0
+    prev = (vpl >> 12) & 0x7F
+    level = (vpl & 0xFFF) - 2048
 
     # backward pass: add the tail distortion, pick the best end node
     tail = disto0[:, 63:64] - D
