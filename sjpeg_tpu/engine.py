@@ -904,12 +904,30 @@ def _stage_batch_freqs_fused(src, iquant, ibias, yuv_mode: int, width: int,
                              height: int, nb_blocks, n_images: int,
                              stats_images: int, src_kind: str = "rgb"):
     """front end + quantize + symbol statistics in ONE program; only the
-    per-image (or batch-aggregated) frequencies leave the device."""
+    per-image (or batch-aggregated) frequencies leave the device.
+
+    Statistics are order-independent, so no MCU interleave happens here:
+    each component quantizes, run-levels, and counts in its own natural
+    layout (the DC predictor chain is per component in the reference
+    scan anyway, src/enc.cc:877-881) and the per-group frequencies sum —
+    skipping the [N, 64] interleave relayout the final pack pass needs."""
     blocks = _batch_blocks_fast(src, yuv_mode, width, height, src_kind)
     coeffs = [fdct.fdct_blocks(x) for x in blocks]
-    rl, dc_codes, group = _interleave_quantized(coeffs, iquant, ibias,
-                                                nb_blocks, n_images)
-    return _grouped_stats(rl, dc_codes, group, stats_images)
+    fdc = fac = None
+    for c, coef in enumerate(coeffs):
+        g = 0 if c == 0 else 1
+        if iquant.ndim == 3:
+            qb = _per_image_quantize(coef, iquant[:, g], ibias[:, g],
+                                     n_images)
+        else:
+            qb = quantize.quantize_blocks(coef, iquant[g], ibias[g])
+        rl = vlc.run_levels(qb)
+        dc_codes = vlc.dc_diff_codes(qb[:, 0], n_images)
+        group = jnp.full(qb.shape[0], g, jnp.int32)
+        d, a = _grouped_stats(rl, dc_codes, group, stats_images)
+        fdc = d if fdc is None else fdc + d
+        fac = a if fac is None else fac + a
+    return fdc, fac
 
 
 @functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",

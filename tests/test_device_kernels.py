@@ -763,3 +763,37 @@ def test_sample_pack_saturated_chroma_wrap(rng):
         pl.pallas_call = orig
     np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
     np.testing.assert_array_equal(np.asarray(got_w), np.asarray(want_w))
+
+
+def test_stage_batch_freqs_fused_matches_staged(rng):
+    """The relay-only fused freqs program (per-component, no interleave)
+    must produce the same per-image frequencies as the staged
+    quantize+stats path."""
+    from sjpeg_tpu import engine
+    from sjpeg_tpu.params import quant_matrices_for_quality
+
+    b, h, w = 3, 48, 32
+    rgbs = jnp.asarray(rng.randint(0, 256, (b, h, w, 3)).astype(np.uint8))
+    qm = [spec.finalize_quant_matrix(quant_matrices_for_quality(80.0)[i],
+                                     np.ones(64, np.uint8), C.DEFAULT_BIAS)
+          for i in range(2)]
+    iq, ib = engine._quant_device_arrays(qm)
+    got = engine._stage_batch_freqs_fused(
+        rgbs, iq, ib, yuv_mode=C.YUV_420, width=w, height=h,
+        nb_blocks=(4, 1, 1), n_images=b, stats_images=b, src_kind="rgb")
+    coeffs, _ = engine._stage_batch_coeffs(
+        rgbs, yuv_mode=C.YUV_420, width=w, height=h, with_histo=False,
+        n_images=b, src_kind="rgb")
+    _, want = engine._stage_batch_quantize(
+        coeffs, iq, ib, with_stats=True, nb_blocks=(4, 1, 1), n_images=b,
+        per_image_stats=True)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+    # per-image matrices variant
+    iq3 = jnp.broadcast_to(iq, (b,) + iq.shape)
+    ib3 = jnp.broadcast_to(ib, (b,) + ib.shape)
+    got3 = engine._stage_batch_freqs_fused(
+        rgbs, iq3, ib3, yuv_mode=C.YUV_420, width=w, height=h,
+        nb_blocks=(4, 1, 1), n_images=b, stats_images=b, src_kind="rgb")
+    np.testing.assert_array_equal(np.asarray(got3[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got3[1]), np.asarray(want[1]))
