@@ -287,15 +287,21 @@ def _stage_quantize_trellis(coeffs, iquant, ibias, quant, lt_lens,
     Not a single jit: the trellis itself runs through the fixed-shape
     chunked driver (ops.trellis.trellis_quantize_tiled) so every image
     and batch size reuses one compiled scan executable.  lt_lens: the
-    [2, 256] AC code lengths supplying the rate costs — the tables
-    active *before* this pass's Huffman optimization (src/enc.cc:1528):
-    K.3 defaults on a single pass, the previous size pass's optimized
-    tables inside a dichotomy (src/dichotomy.cc:83-85,144)."""
+    AC code lengths supplying the rate costs — [2, 256] shared, or
+    [B, 2, 256] per image (a batched dichotomy's evolving tables) —
+    always the tables active *before* this pass's Huffman optimization
+    (src/enc.cc:1528): K.3 defaults on a single pass, the previous size
+    pass's optimized tables inside a dichotomy
+    (src/dichotomy.cc:83-85,144)."""
     from .ops import trellis as trellis_ops
     cinter, iq_r, ib_r, qq_r, group, dc_codes = _stage_trellis_prep(
         coeffs, iquant, ibias, quant, nb_blocks, n_images)
-    qinter = trellis_ops.trellis_quantize_tiled(cinter, iq_r, ib_r, qq_r,
-                                                group, lt_lens)
+    if lt_lens.ndim == 3:
+        qinter = trellis_ops.trellis_quantize_tiled_per_image(
+            cinter, iq_r, ib_r, qq_r, group, lt_lens, n_images)
+    else:
+        qinter = trellis_ops.trellis_quantize_tiled(
+            cinter, iq_r, ib_r, qq_r, group, lt_lens)
     return _stage_trellis_post(qinter, dc_codes, group,
                                with_stats=with_stats, n_images=n_images,
                                per_image_stats=per_image_stats)
@@ -641,11 +647,9 @@ def _encode_batch_src(src, src_kind: str, yuv_mode: int, w: int, h: int,
     b = src.shape[0] if src_kind == "rgb" else src[0].shape[0]
     flags = method_flags(param.method)
     if param.passes > 1 and param.target_mode != TARGET_NONE:
-        if flags["use_trellis"] or param.search_hook is not None:
-            # stateful user hooks / multi-pass trellis: per-image device
-            # searches (encode_rgb -> _encode_search_device); the batched
-            # search's shared pass programs assume a shared trellis rate
-            # table, which methods 7/8 evolve per image per pass
+        if param.search_hook is not None:
+            # stateful user hooks can't share the batched pass programs:
+            # per-image device searches
             out = []
             for i in range(b):
                 if src_kind == "rgb":
@@ -1365,7 +1369,8 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
         hk.setup(param, initial_q)
         hooks.append(hk)
 
-    relay_fused = _relay_backend()
+    trellis = flags["use_trellis"]
+    relay_fused = _relay_backend() and not trellis
     if relay_fused:
         coeffs = None
         histos = (_stage_batch_histos_fused(
@@ -1376,6 +1381,26 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
             src, yuv_mode=yuv_mode, width=w, height=h,
             with_histo=flags["use_adaptive_quant"], n_images=b,
             src_kind=src_kind)
+
+    # per-image trellis rate-table state (methods 7/8): lens evolve per
+    # image exactly like the reference's persistent ac_codes_ arrays
+    # across LoopScan passes (src/dichotomy.cc:83-85,144); lens_prev
+    # holds each image's last-executed-pass ENTRY state so a
+    # last-pass-is-best image reproduces its stored bytes
+    if trellis:
+        base_lens = np.asarray(_trellis_cost_lens())
+        lens_np = np.broadcast_to(base_lens, (b, 2, 256)).copy()
+        lens_prev_np = lens_np.copy()
+        last_best = [False] * b
+
+    def trellis_eval(iq3, ib3, per_qms, lens_arr):
+        qq3 = jnp.asarray(np.stack(
+            [[q["quant"] for q in qms] for qms in per_qms]
+        ).astype(np.int32))
+        return _stage_quantize_trellis(
+            coeffs, iq3, ib3, qq3, jnp.asarray(lens_arr.astype(np.int32)),
+            with_stats=flags["optimize_size"], nb_blocks=nb_blocks,
+            n_images=b, per_image_stats=True)
     if histos is not None:
         hl = np.asarray(histos[0]).astype(np.int64).reshape(b, 64, -1)
         hc = np.asarray(histos[1]).astype(np.int64).reshape(b, 64, -1)
@@ -1476,10 +1501,28 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
         iq3, ib3 = stack_quant_arrays(per_qms)
 
         if for_size:
-            freqs = batched_freqs(iq3, ib3)
-            tabs, dcl, acl, per_tabs = build_tables(freqs)
-            words, totals = batched_pack(iq3, ib3, dcl, acl, per_tabs,
-                                         bucket)
+            if trellis:
+                vlc_state, freqs = trellis_eval(iq3, ib3, per_qms, lens_np)
+                tabs, dcl, acl, per_tabs = build_tables(freqs)
+                from .huffman import overlay_code_lut
+                for i in range(b):
+                    if done[i] or overflow[i]:
+                        continue            # image's own loop has exited
+                    lens_prev_np[i] = lens_np[i]
+                    lens_np[i, 0] = overlay_code_lut(
+                        lens_np[i, 0].astype(np.uint32), tabs[i][2]) & 0xFF
+                    if tabs[i][3] is not None:
+                        lens_np[i, 1] = overlay_code_lut(
+                            lens_np[i, 1].astype(np.uint32),
+                            tabs[i][3]) & 0xFF
+                words, totals = _stage_batch_pack(
+                    vlc_state, dcl, acl, n_images=b, bucket=bucket,
+                    per_image_tables=per_tabs)
+            else:
+                freqs = batched_freqs(iq3, ib3)
+                tabs, dcl, acl, per_tabs = build_tables(freqs)
+                words, totals = batched_pack(iq3, ib3, dcl, acl, per_tabs,
+                                             bucket)
             # one [2, B] fetch for (totals, stuffing counts): per-pass
             # evaluation costs a single device round trip (the dev
             # tunnel's ~40 ms RPC latency dominates the search loop)
@@ -1515,7 +1558,10 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
                 continue
             hooks[i].pass_count = p
             result = results[i]
-            if p == 0 or abs(result - hooks[i].target) < best[i]:
+            is_best = p == 0 or abs(result - hooks[i].target) < best[i]
+            if trellis:
+                last_best[i] = is_best
+            if is_best:
                 opt_qms[i] = [per_qms[i][0]["quant"].copy(),
                               per_qms[i][1]["quant"].copy()]
                 best[i] = abs(result - hooks[i].target)
@@ -1543,9 +1589,23 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
         hooks[i].q = best_q[i]
         hooks[i].value = best_result[i]
     iq3, ib3 = stack_quant_arrays(final_qms)
-    freqs = batched_freqs(iq3, ib3)
-    tabs, dcl, acl, per_tabs = build_tables(freqs)
-    words, totals = batched_pack(iq3, ib3, dcl, acl, per_tabs, bucket)
+    if trellis:
+        # per image: best-pass == last-executed-pass reuses that pass's
+        # ENTRY rate tables (the reference reuses its stored run-levels,
+        # quantized before the pass's table update); otherwise the final
+        # StoreRunLevels runs with the loop-exit state
+        final_lens = (np.where(np.asarray(last_best)[:, None, None],
+                               lens_prev_np, lens_np)
+                      if for_size else lens_np)
+        vlc_state, freqs = trellis_eval(iq3, ib3, final_qms, final_lens)
+        tabs, dcl, acl, per_tabs = build_tables(freqs)
+        words, totals = _stage_batch_pack(
+            vlc_state, dcl, acl, n_images=b, bucket=bucket,
+            per_image_tables=per_tabs)
+    else:
+        freqs = batched_freqs(iq3, ib3)
+        tabs, dcl, acl, per_tabs = build_tables(freqs)
+        words, totals = batched_pack(iq3, ib3, dcl, acl, per_tabs, bucket)
     totals_np = np.asarray(totals)
     ok = (totals_np != 0x7FFFFFFF) & (totals_np <= bucket * 32)
     words_np = fetch_streams_batch(words, np.where(ok, totals_np, 0))

@@ -274,3 +274,50 @@ def trellis_quantize_tiled(cinter, iquant, ibias, quant, group, lt_lens):
             _tile_slice(group, start), lt_lens))
     q = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=0)
     return q[:N] if pad else q
+
+
+def trellis_quantize_tiled_per_image(cinter, iquant, ibias, quant, group,
+                                     lt_lens3, n_images: int):
+    """Per-image rate tables (a dichotomy's evolving optimized tables,
+    src/dichotomy.cc:83-85,144): rows are image-major with equal block
+    counts; each image's rows pad to whole TILE chunks so every chunk
+    maps to exactly one image's [2, 256] length table, and the chunks
+    still all reuse the single fixed-shape executable."""
+    N = cinter.shape[0]
+    per = N // n_images
+    if jax.default_backend() == "cpu":
+        outs = []
+        for i in range(n_images):
+            sl = slice(i * per, (i + 1) * per)
+            lt = ac_len_table(lt_lens3[i], group[sl])
+            outs.append(trellis_quantize_blocks_jax(
+                cinter[sl], iquant[sl], ibias[sl], quant[sl], lt))
+        return jnp.concatenate(outs, axis=0)
+    padded = -(-per // TILE) * TILE
+    pad = padded - per
+
+    def padrows(x, fill=0):
+        if not pad:
+            return x
+        x2 = x.reshape((n_images, per) + x.shape[1:])
+        cfg = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x2, cfg,
+                       constant_values=fill).reshape((-1,) + x.shape[1:])
+
+    cinter = padrows(cinter)
+    iquant = padrows(iquant, 1)
+    ibias = padrows(ibias)
+    quant = padrows(quant, 1)
+    group = padrows(group)
+    chunks_per_img = padded // TILE
+    outs = []
+    for k in range(n_images * chunks_per_img):
+        start = jnp.int32(k * TILE)
+        outs.append(_trellis_tile(
+            _tile_slice(cinter, start), _tile_slice(iquant, start),
+            _tile_slice(ibias, start), _tile_slice(quant, start),
+            _tile_slice(group, start), lt_lens3[k // chunks_per_img]))
+    q = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    if pad:
+        q = q.reshape(n_images, padded, 64)[:, :per].reshape(-1, 64)
+    return q
