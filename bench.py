@@ -353,18 +353,34 @@ def config5(rgb, out):
     verify(jpegs[0], rgb, min_psnr=24.0)
     sizes = [len(j) for j in jpegs]
     dt_e2e = wall_time(lambda: encode_batch(dev, param), reps=2)
+    # per-pass device cost: the two programs every size pass dispatches
+    # (the e2e number is dominated by two tunnel RPCs per pass — a
+    # co-located host pays microseconds for the same round trips)
+    from sjpeg_tpu import engine
+    qms = _std_qms(EncoderParam(quality=75, yuv_mode=C.YUV_420))
+    iq, ib = engine._quant_device_arrays(qms)
+    iq3 = jax.numpy.broadcast_to(iq, (BATCH,) + iq.shape)
+    ib3 = jax.numpy.broadcast_to(ib, (BATCH,) + ib.shape)
+    t_f, _ = slope_time(lambda: engine._stage_batch_freqs_fused(
+        dev, iq3, ib3, yuv_mode=C.YUV_420, width=w, height=h,
+        nb_blocks=(4, 1, 1), n_images=BATCH, stats_images=BATCH,
+        src_kind="rgb"), reps=4)
     out["c5_dichotomy_size"] = {
         "e2e_mpps": _rate(px, dt_e2e),
         "reference_mpps": round(ref, 1) if ref else None,
         "vs_baseline": (round(_rate(px, dt_e2e) / ref, 2) if ref else None),
-        "target_bytes": target, "result_bytes": sizes[0]}
+        "target_bytes": target, "result_bytes": sizes[0],
+        "pass_freqs_device_ms": round(t_f * 1e3, 2)}
 
 
 def config6(rgb, out):
-    """Trellis (method 7: trellis quant + adaptive + two-pass Huffman)."""
+    """Trellis (method 7: trellis quant + adaptive + two-pass Huffman).
+    Device rate = the four device stages back-to-back with live per-image
+    matrices/tables (host lambda-fits and table builds excluded there)."""
     import jax
+    import jax.numpy as jnp
     from sjpeg_tpu import constants as C
-    from sjpeg_tpu.engine import encode_batch
+    from sjpeg_tpu import engine
     from sjpeg_tpu.params import EncoderParam
 
     h, w = rgb.shape[:2]
@@ -372,13 +388,54 @@ def config6(rgb, out):
     ref = reference_mpps(rgb, ["-q", "75", "-yuv_mode", "1", "-trellis"])
     param = EncoderParam(quality=75, yuv_mode=C.YUV_420, use_trellis=True)
     dev = jax.device_put(np.broadcast_to(rgb, (BATCH, h, w, 3)).copy())
-    jpegs = encode_batch(dev, param)
+    jpegs = engine.encode_batch(dev, param)
     verify(jpegs[0], rgb)
-    dt_e2e = wall_time(lambda: encode_batch(dev, param), reps=2)
-    out["c6_trellis_m7"] = {
-        "e2e_mpps": _rate(px, dt_e2e),
-        "reference_mpps": round(ref, 1) if ref else None,
-        "vs_baseline": (round(_rate(px, dt_e2e) / ref, 2) if ref else None)}
+    dt_e2e = wall_time(lambda: engine.encode_batch(dev, param), reps=2)
+    entry = {"e2e_mpps": _rate(px, dt_e2e),
+             "reference_mpps": round(ref, 1) if ref else None}
+
+    # device-side: coeffs+histos, chunked trellis + stats, final pack
+    qms = _std_qms(param)
+    iq, ib = engine._quant_device_arrays(qms)
+    qq = jnp.asarray(np.stack([qms[0]["quant"],
+                               qms[1]["quant"]]).astype(np.int32))
+    t_c, _ = slope_time(lambda: engine._stage_batch_coeffs(
+        dev, yuv_mode=C.YUV_420, width=w, height=h, with_histo=True,
+        n_images=BATCH, src_kind="rgb"), reps=4)
+    coeffs, _h = engine._stage_batch_coeffs(
+        dev, yuv_mode=C.YUV_420, width=w, height=h, with_histo=False,
+        n_images=BATCH, src_kind="rgb")
+
+    def trellis_stage():
+        return engine._stage_quantize_trellis(
+            coeffs, iq, ib, qq, engine._trellis_cost_lens(),
+            with_stats=True, nb_blocks=(4, 1, 1), n_images=BATCH,
+            per_image_stats=True)
+
+    t_t, _ = slope_time(trellis_stage, reps=2)
+    vlc_state, freqs = trellis_stage()
+    from sjpeg_tpu.huffman import optimal_tables_from_freqs
+    fdc = np.asarray(freqs[0]).astype(np.int64).reshape(BATCH, 2, 12)
+    fac = np.asarray(freqs[1]).astype(np.int64).reshape(BATCH, 2, 256)
+    tabs = [optimal_tables_from_freqs(fdc[i], fac[i], 2)
+            for i in range(BATCH)]
+    dc_np = np.zeros((BATCH, 2, 16), np.uint32)
+    ac_np = np.zeros((BATCH, 2, 256), np.uint32)
+    for i, t in enumerate(tabs):
+        dc_np[i], ac_np[i] = engine._host_luts(t)
+    dcl, acl = jax.numpy.asarray(dc_np), jax.numpy.asarray(ac_np)
+    bucket = max(4096, int(w * h * 4.0 / 32))
+    t_p, _ = slope_time(lambda: engine._stage_batch_pack(
+        vlc_state, dcl, acl, n_images=BATCH, bucket=bucket,
+        per_image_tables=True), reps=4)
+    entry["device_mpps"] = _rate(px, t_c + t_t + t_p)
+    entry["device_ms_breakdown"] = {
+        "coeffs_histos": round(t_c * 1e3, 2),
+        "trellis_quantize_stats": round(t_t * 1e3, 2),
+        "final_pack": round(t_p * 1e3, 2)}
+    entry["vs_baseline"] = (round(entry["device_mpps"] / ref, 2)
+                            if ref else None)
+    out["c6_trellis_m7"] = entry
 
 
 def verify(jpeg, rgb, min_psnr=25.0):
