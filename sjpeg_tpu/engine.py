@@ -697,19 +697,32 @@ def _encode_batch_src(src, src_kind: str, yuv_mode: int, w: int, h: int,
     out = []
     for i in range(b):
         total_bits = int(totals_np[i])
-        if total_bits > bucket * 32:      # bucket overflow: slow refetch
-            one = (jnp.asarray(src[i]) if src_kind == "rgb"
-                   else tuple(p[i] for p in src))
-            wi, ti = encode_core(one, iq, ib, dc_luts,
-                                 ac_luts, yuv_mode=yuv_mode, width=w,
-                                 height=h,
-                                 nb_blocks=tuple(layout.nb_blocks),
-                                 src_kind=src_kind)
-            scan = _finalize_scan_bytes(wi, int(ti))
-        else:
-            scan = _finalize_scan_bytes(words_np[i], total_bits)
+        if total_bits > bucket * 32:      # bucket overflow: host fallback
+            out.append(_host_fallback_one(src, src_kind, i, yuv_mode,
+                                          param))
+            continue
+        scan = _finalize_scan_bytes(words_np[i], total_bits)
         out.append(_assemble_jpeg(layout, param, qms, tables, scan))
     return out
+
+
+def _host_fallback_one(src, src_kind: str, i: int, yuv_mode: int,
+                       param: EncoderParam) -> bytes:
+    """Re-encode one image on the HOST after a device-side overflow
+    (bucket or sliced-frame).  Deliberately not a device refetch: the TPU
+    runtime defect documented in ops/trellis.py (re-running previously
+    -used smaller executables after larger ones poisons the device) also
+    bites single-image variants of the batch kernels, and overflow is the
+    rare path where correctness beats speed."""
+    from . import host_encoder
+    p2 = dataclasses.replace(param, yuv_mode=yuv_mode)
+    if src_kind == "rgb":
+        return host_encoder.encode_rgb(np.asarray(src[i]), p2)
+    planes = tuple(np.asarray(p[i]) for p in src)
+    if len(planes) == 1:
+        return host_encoder.encode_gray(planes[0], p2)
+    return host_encoder.encode_yuv(planes[0], planes[1], planes[2],
+                                   yuv_mode == C.YUV_420, p2)
 
 
 @functools.partial(jax.jit, static_argnames=("yuv_mode", "width", "height",
@@ -1191,30 +1204,20 @@ def _encode_batch_optimized(src, param: EncoderParam,
     out = []
     for i in range(b):
         total_bits = int(totals_np[i])
-        if total_bits > bucket * 32:      # bucket overflow: slow refetch
+        if total_bits > bucket * 32:      # bucket overflow
             if relay_fused:
-                one = (src[i][None] if src_kind == "rgb"
-                       else tuple(p[i][None] for p in src))
-                iq1 = iq[i][None] if iq.ndim == 3 else iq
-                ib1 = ib[i][None] if ib.ndim == 3 else ib
-                if per_image_tables:
-                    dcl, acl = dc_luts[i][None], ac_luts[i][None]
-                else:
-                    dcl, acl = dc_luts, ac_luts
-                wi, ti = _encode_batch_opt_core(
-                    one, iq1, ib1, dcl, acl, yuv_mode=yuv_mode, width=w,
-                    height=h, nb_blocks=tuple(layout.nb_blocks),
-                    n_images=1,
-                    bucket=n_blocks_img * pack.WORDS_PER_BLOCK,
-                    per_image_tables=per_image_tables, src_kind=src_kind)
-                wi, ti = wi[0], ti[0]
+                # host fallback (see _host_fallback_one: single-image
+                # device variants of the batch kernels can poison the
+                # TPU runtime)
+                out.append(_host_fallback_one(src, src_kind, i, yuv_mode,
+                                              param))
+                continue
+            state_i = _slice_vlc_state(vlc_state, jnp.int32(i), per_img)
+            if per_image_tables:
+                dcl, acl = _device_luts(per_tables[i])
             else:
-                state_i = _slice_vlc_state(vlc_state, jnp.int32(i), per_img)
-                if per_image_tables:
-                    dcl, acl = _device_luts(per_tables[i])
-                else:
-                    dcl, acl = dc_luts, ac_luts
-                wi, ti = _stage_pack(state_i, dcl, acl)
+                dcl, acl = dc_luts, ac_luts
+            wi, ti = _stage_pack(state_i, dcl, acl)
             scan = _finalize_scan_bytes(wi, int(ti))
         else:
             scan = _finalize_scan_bytes(words_np[i], total_bits)
@@ -1616,32 +1619,15 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
         if overflow[i] or total_bits == 0x7FFFFFFF \
                 or total_bits > bucket * 32:
             # rare: this image's streams outgrew the batch bucket at some
-            # pass — run the standard single-image search for it
-            out.append(_encode_one_search(src, src_kind, i, yuv_mode,
-                                          w, h, param, layout, flags))
+            # pass — run the standard single-image search for it on the
+            # host (see _host_fallback_one)
+            out.append(_host_fallback_one(src, src_kind, i, yuv_mode,
+                                          param))
             continue
         scan = _finalize_scan_bytes(words_np[i], total_bits)
         out.append(_assemble_jpeg(layout, param, final_qms[i], tabs[i],
                                   scan))
     return out
-
-
-def _encode_one_search(src, src_kind: str, i: int, yuv_mode: int, w: int,
-                       h: int, param: EncoderParam, layout, flags):
-    """Single-image fallback for batch-search images that overflowed the
-    shared stream bucket."""
-    if src_kind == "rgb":
-        one = src[i]
-        get = lambda wh: _stage_coeffs(one, yuv_mode=yuv_mode, width=w,
-                                       height=h, with_histo=wh)
-    else:
-        planes = tuple(p[i] for p in src)
-        get = lambda wh: _stage_coeffs_planes(planes, yuv_mode=yuv_mode,
-                                              width=w, height=h,
-                                              with_histo=wh)
-    coeffs, histos = get(flags["use_adaptive_quant"])
-    param_i = dataclasses.replace(param, search_hook=None)
-    return _encode_search_device(coeffs, histos, layout, param_i)
 
 
 def _lens_from_tables(tables, prev):

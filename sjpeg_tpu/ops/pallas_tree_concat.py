@@ -236,8 +236,13 @@ W_STOP = 32768
 # half width (2w instead of 4w).  Real streams average ~50-150 bits per
 # 2048-bit level-0 frame, so halving keeps ~8-30x slack while halving
 # every later level's HBM traffic; a unit whose exact length exceeds the
-# truncated frame flags its image for the engine's per-image slow path.
+# truncated frame flags its image for the engine's (host) slow path.
 SLICED_LEVELS = 3
+
+# Truncation only pays on large levels; small images (few units) gain
+# nothing and — with dense content (~300 bits/block) — overflow the
+# halved frames almost surely, pushing every image to the slow path.
+SLICED_MIN_UNITS = 4096
 
 
 def _finish_units(units, lens, n_images: int, bucket: int):
@@ -335,7 +340,8 @@ def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int,
             break
         rows = n_units // radix
         out_w = radix * w
-        if sliced and radix == 4 and level < SLICED_LEVELS:
+        if (sliced and radix == 4 and level < SLICED_LEVELS
+                and n_units >= SLICED_MIN_UNITS):
             out_w = 2 * w
         R = _level_tile_rows(rows, radix * w)
         # lane-packed lens path: big radix-4 levels only (R >= 256 keeps

@@ -444,9 +444,12 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
 
     out = []
     for i in range(min(b_local, b_real_local)):
-        if overflow[i]:        # per-stripe bucket overflow: slow refetch
+        if overflow[i]:        # per-stripe bucket overflow: host fallback
+            # (engine._host_fallback_one rationale: no fresh smaller
+            # device executables on the overflow path)
+            from .. import host_encoder
             p2 = dataclasses.replace(param, yuv_mode=yuv_mode)
-            out.append(engine.encode_rgb(rgbs_np[i, :h], p2))
+            out.append(host_encoder.encode_rgb(rgbs_np[i, :h], p2))
             continue
         scan = engine._finalize_scan_bytes(img_words[i], int(img_totals[i]))
         out.append(engine._assemble_jpeg(layout, param, per_qms[i],

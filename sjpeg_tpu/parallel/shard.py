@@ -183,9 +183,16 @@ def make_sharded_encode(mesh: Mesh, yuv_mode: int, height: int, width: int,
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
+    # check_vma=False: the shard bodies run pallas_call kernels whose
+    # ShapeDtypeStruct outputs carry no varying-mesh-axes annotation,
+    # which newer JAX rejects under the default check_vma=True
     if hasattr(jax, "shard_map"):
-        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs)
+        try:
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False)
+        except TypeError:                      # older jax: no check_vma
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs)
     from jax.experimental.shard_map import shard_map as _sm
     return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
