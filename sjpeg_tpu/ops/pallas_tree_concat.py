@@ -286,9 +286,10 @@ def _finish_units(units, lens, n_images: int, bucket: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n_images", "bucket",
-                                             "sliced"))
+                                             "sliced", "sliced_min_units"))
 def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int,
-                              sliced: bool = True):
+                              sliced: bool = True,
+                              sliced_min_units: int = SLICED_MIN_UNITS):
     """[N, WORDS] uint32 + [N] int32 -> ([n_images, bucket] uint32,
     [n_images] int32 total bits).  N is image-major; per-image block
     counts are padded to a power of two with zero-length streams.
@@ -298,7 +299,9 @@ def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int,
     overflows a truncated frame gets totals=INT32_MAX so the engine's
     existing per-image refetch fallback re-encodes it exactly.  Pass
     sliced=False on paths that must be overflow-proof (the per-image
-    fallback itself)."""
+    fallback itself).  `sliced_min_units` (static) is the level size
+    below which truncation is skipped; tests inject a small value to
+    exercise the overflow flag on small batches."""
     N, W = words.shape
     assert W == WORDS
     per_img = N // n_images
@@ -341,7 +344,7 @@ def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int,
         rows = n_units // radix
         out_w = radix * w
         if (sliced and radix == 4 and level < SLICED_LEVELS
-                and n_units >= SLICED_MIN_UNITS):
+                and n_units >= sliced_min_units):
             out_w = 2 * w
         R = _level_tile_rows(rows, radix * w)
         # lane-packed lens path: big radix-4 levels only (R >= 256 keeps

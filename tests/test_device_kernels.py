@@ -491,9 +491,11 @@ def test_pallas_tree_concat_sliced_overflow_flag(rng):
 
     pl.pallas_call = patched
     try:
+        # threshold injected to 0: truncation engages even on this tiny
+        # batch, exercising the overflow->INT32_MAX flag path
         got, gt = ptc.concat_block_streams_tree.__wrapped__(
             jnp.asarray(words), jnp.asarray(lens), n_images=n_images,
-            bucket=bucket)
+            bucket=bucket, sliced_min_units=0)
         got_s, gt_s = ptc.concat_block_streams_tree.__wrapped__(
             jnp.asarray(words), jnp.asarray(lens), n_images=n_images,
             bucket=bucket, sliced=False)
@@ -509,6 +511,52 @@ def test_pallas_tree_concat_sliced_overflow_flag(rng):
         nw = (int(wt[b]) + 31) // 32
         np.testing.assert_array_equal(np.asarray(got_s)[b, :nw],
                                       np.asarray(want)[b, :nw])
+
+
+@pytest.mark.slow
+def test_pallas_tree_concat_sliced_overflow_default_threshold(rng):
+    """At >= SLICED_MIN_UNITS units the DEFAULT config truncates; a dense
+    burst overflows a truncated frame and flags exactly that image."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.ops import pallas_tree_concat as ptc
+    n_images = 2
+    per_img = ptc.SLICED_MIN_UNITS // n_images     # level-0 units == min
+    N = n_images * per_img
+    lens = rng.randint(10, 200, N).astype(np.int32)
+    # image 1: four adjacent almost-full blocks -> ~8000 bits, beyond the
+    # 4096-bit truncated level-0 output frame
+    lens[per_img + 8: per_img + 12] = 2000
+    words = np.zeros((N, 64), np.uint32)
+    for n in range(N):
+        L = int(lens[n])
+        for j in range((L + 31) // 32):
+            bits = min(32, L - 32 * j)
+            w = (rng.randint(0, 1 << bits) << (32 - bits)
+                 if bits < 32 else rng.randint(0, 1 << 32))
+            words[n, j] = w
+    bucket = 1 << max(int(lens.reshape(n_images, -1).sum(1).max()).bit_length(),
+                      13)
+    want, wt = pack.concat_block_streams_batched(
+        jnp.asarray(words), jnp.asarray(lens), n_images, bucket)
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        got, gt = ptc.concat_block_streams_tree.__wrapped__(
+            jnp.asarray(words), jnp.asarray(lens), n_images=n_images,
+            bucket=bucket)
+    finally:
+        pl.pallas_call = orig
+    assert int(gt[1]) == 0x7FFFFFFF            # flagged for fallback
+    assert int(gt[0]) == int(wt[0])            # clean image exact
+    nw = (int(wt[0]) + 31) // 32
+    np.testing.assert_array_equal(np.asarray(got)[0, :nw],
+                                  np.asarray(want)[0, :nw])
 
 
 def _mixed_mode_batch(rng):
