@@ -1,7 +1,7 @@
 """Pallas TPU kernels: parallel log-tree bitstream concatenation.
 
-Replaces the sequential append concat (pallas_concat) with a fully
-parallel merge tree: level by level, adjacent per-block bit streams are
+A fully parallel merge tree (successor of an earlier sequential append
+concat): level by level, adjacent per-block bit streams are
 merged pairwise until each image is one contiguous stream.  Every level
 is a uniform row-parallel kernel — no sequential grid, no cross-step
 scratch state — so wall time scales with HBM traffic (one read + one

@@ -35,14 +35,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_pack import _cumsum_lanes_exclusive
-
 WORDS = 64
 # 1024 amortizes the per-grid-step fixed cost (scalar reductions for the
 # dynamic loop bounds + DMA setup); measured faster than 512 on the chip
 # (scripts/r2_experiments.py kernel)
 DEFAULT_TILE = 1024
 LANE = 128
+
+
+def _cumsum_lanes_exclusive(x):
+    """Exclusive prefix sum along the last (lane) axis, log-step shifts.
+
+    Mosaic has no cumsum primitive; build it from static-shape shifted
+    adds (zero-padded concatenation, no dynamic slicing).
+    """
+    lanes = x.shape[-1]
+    zeros = jnp.zeros_like(x)
+    total = x
+    s = 1
+    while s < lanes:
+        shifted = jnp.concatenate(
+            [zeros[:, :s], total[:, :-s]], axis=1)
+        total = total + shifted
+        s <<= 1
+    return total - x       # exclusive
 
 
 def _eye(w):

@@ -174,77 +174,6 @@ def test_device_encode_matches_oracle_end_to_end(rng):
             assert dev_encode(rgb, p) == host_encode_rgb(rgb, p)
 
 
-def test_pallas_pack_matches_xla_interpret(rng):
-    """Pallas pack kernel (interpret mode) vs the XLA formulation."""
-    from jax.experimental import pallas as pl
-    from sjpeg_tpu.ops import pallas_pack as pp
-    N, E = 24, 191
-    lens = rng.randint(0, 28, (N, E)).astype(np.int32)
-    lens[rng.rand(N, E) < 0.5] = 0
-    vals = np.zeros((N, E), np.uint32)
-    for n in range(N):
-        for e in range(E):
-            if lens[n, e]:
-                vals[n, e] = rng.randint(0, 1 << int(lens[n, e]))
-    want_w, want_t = pack.pack_block_entries(jnp.asarray(vals),
-                                             jnp.asarray(lens))
-    tile = 8
-    v = jnp.pad(jnp.asarray(vals), ((0, 0), (0, pp.ENTRIES - E)))
-    l = jnp.pad(jnp.asarray(lens), ((0, 0), (0, pp.ENTRIES - E)))
-    got_w, got_t = pl.pallas_call(
-        pp._pack_kernel, grid=(N // tile,),
-        in_specs=[pl.BlockSpec((tile, pp.ENTRIES), lambda i: (i, 0)),
-                  pl.BlockSpec((tile, pp.ENTRIES), lambda i: (i, 0))],
-        out_specs=(pl.BlockSpec((tile, pp.WORDS), lambda i: (i, 0)),
-                   pl.BlockSpec((tile, 1), lambda i: (i, 0))),
-        out_shape=(jax.ShapeDtypeStruct((N, pp.WORDS), jnp.uint32),
-                   jax.ShapeDtypeStruct((N, 1), jnp.int32)),
-        interpret=True,
-    )(v, l)
-    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(want_w))
-    np.testing.assert_array_equal(np.asarray(got_t[:, 0]),
-                                  np.asarray(want_t))
-
-
-def test_pallas_concat_matches_xla_interpret(rng):
-    """Pallas concat kernel (interpret mode) vs the XLA formulation."""
-    from jax.experimental import pallas as pl
-    import sjpeg_tpu.ops.pallas_concat as pc
-    n_images, per_img = 2, 700
-    N = n_images * per_img
-    lens = rng.randint(0, 300, N).astype(np.int32)
-    words = np.zeros((N, 64), np.uint32)
-    for n in range(N):
-        L = int(lens[n])
-        for j in range((L + 31) // 32):
-            bits = min(32, L - 32 * j)
-            w = (rng.randint(0, 1 << bits) << (32 - bits)
-                 if bits < 32 else rng.randint(0, 1 << 32))
-            words[n, j] = w
-    bucket = 8192
-    want, wt = pack.concat_block_streams_batched(
-        jnp.asarray(words), jnp.asarray(lens), n_images, bucket)
-    orig = pl.pallas_call
-
-    def patched(*a, **k):
-        k["interpret"] = True
-        k.pop("compiler_params", None)
-        return orig(*a, **k)
-
-    pl.pallas_call = patched
-    try:
-        got, gt = pc.concat_block_streams_pallas.__wrapped__(
-            jnp.asarray(words), jnp.asarray(lens), n_images=n_images,
-            bucket=bucket)
-    finally:
-        pl.pallas_call = orig
-    np.testing.assert_array_equal(np.asarray(gt), np.asarray(wt))
-    for b in range(n_images):
-        nw = (int(wt[b]) + 31) // 32
-        np.testing.assert_array_equal(np.asarray(got)[b, :nw],
-                                      np.asarray(want)[b, :nw])
-
-
 def test_encode_batch_optimized_shared_stats(rng):
     """Batched two-pass Huffman + adaptive encode (share_statistics=True
     knob): streams stay valid JPEG, rate close to per-image encoding."""
