@@ -214,10 +214,11 @@ def _interleave_samples(blocks, iquant, ibias, nb_blocks, n_images=1,
 @functools.partial(jax.jit, static_argnames=("nb_blocks", "n_images"))
 def _stage_trellis_prep(coeffs, iquant, ibias, quant, nb_blocks,
                         n_images: int = 1):
-    """Interleave coefficients into MCU order and expand the quantizer
-    matrices to per-block [N, 64] rows for the trellis driver; DC diff
-    codes come from the plain bias quantizer here, identical to the
-    trellis kernel's own DC rule (src/enc.cc:763-766).
+    """Interleave coefficients into MCU order for the trellis driver;
+    DC diff codes come from the plain bias quantizer here, identical to
+    the trellis kernel's own DC rule (src/enc.cc:763-766).  The per
+    -block row expansion of the matrices happens inside the trellis
+    device program (ops.trellis.trellis_quantize_matrices).
 
     iquant/ibias/quant: [2, 64] shared or [B, 2, 64] per-image matrices
     (raster order)."""
@@ -229,21 +230,6 @@ def _stage_trellis_prep(coeffs, iquant, ibias, quant, nb_blocks,
     slot_group = np.zeros(mcu_blocks, dtype=np.int32)
     slot_group[nb_blocks[0]:] = 1 if len(nb_blocks) > 1 else 0
     group = jnp.tile(jnp.asarray(slot_group), n_mcu)
-
-    N = cinter.shape[0]
-    g0 = (group == 0)[:, None]
-
-    def rows(m):
-        """Matrices -> per-block [N, 64] rows.  Image-major block layout
-        lines up with the leading axis, so the per-image select is a
-        broadcast where, not a gather."""
-        m = m.astype(jnp.int32)
-        if m.ndim == 2:
-            return jnp.where(g0, m[0][None], m[1][None])
-        per_img = N // n_images
-        g3 = g0.reshape(n_images, per_img, 1)
-        r = jnp.where(g3, m[:, 0][:, None, :], m[:, 1][:, None, :])
-        return r.reshape(N, 64)
 
     dc_cols = []
     for c, (co, nb) in enumerate(zip(coeffs, nb_blocks)):
@@ -263,7 +249,7 @@ def _stage_trellis_prep(coeffs, iquant, ibias, quant, nb_blocks,
         codes = vlc.dc_diff_codes(dcq, n_images)
         dc_cols.append(codes.reshape(n_mcu, nb))
     dc_codes = jnp.concatenate(dc_cols, axis=1).reshape(-1)
-    return cinter, rows(iquant), rows(ibias), rows(quant), group, dc_codes
+    return cinter, group, dc_codes
 
 
 @functools.partial(jax.jit, static_argnames=("with_stats", "n_images",
@@ -284,24 +270,17 @@ def _stage_quantize_trellis(coeffs, iquant, ibias, quant, lt_lens,
     """Trellis quantize + interleave + VLC fields (+ frequencies) — the
     methods-7/8 analog of `_stage_quantize` (src/enc.cc:692-761).
 
-    Not a single jit: the trellis itself runs through the fixed-shape
-    chunked driver (ops.trellis.trellis_quantize_tiled) so every image
-    and batch size reuses one compiled scan executable.  lt_lens: the
-    AC code lengths supplying the rate costs — [2, 256] shared, or
-    [B, 2, 256] per image (a batched dichotomy's evolving tables) —
-    always the tables active *before* this pass's Huffman optimization
-    (src/enc.cc:1528): K.3 defaults on a single pass, the previous size
-    pass's optimized tables inside a dichotomy
+    lt_lens: the AC code lengths supplying the rate costs — [2, 256]
+    shared, or [B, 2, 256] per image (a batched dichotomy's evolving
+    tables) — always the tables active *before* this pass's Huffman
+    optimization (src/enc.cc:1528): K.3 defaults on a single pass, the
+    previous size pass's optimized tables inside a dichotomy
     (src/dichotomy.cc:83-85,144)."""
     from .ops import trellis as trellis_ops
-    cinter, iq_r, ib_r, qq_r, group, dc_codes = _stage_trellis_prep(
+    cinter, group, dc_codes = _stage_trellis_prep(
         coeffs, iquant, ibias, quant, nb_blocks, n_images)
-    if lt_lens.ndim == 3:
-        qinter = trellis_ops.trellis_quantize_tiled_per_image(
-            cinter, iq_r, ib_r, qq_r, group, lt_lens, n_images)
-    else:
-        qinter = trellis_ops.trellis_quantize_tiled(
-            cinter, iq_r, ib_r, qq_r, group, lt_lens)
+    qinter = trellis_ops.trellis_quantize_matrices(
+        cinter, iquant, ibias, quant, group, lt_lens, n_images)
     return _stage_trellis_post(qinter, dc_codes, group,
                                with_stats=with_stats, n_images=n_images,
                                per_image_stats=per_image_stats)

@@ -221,68 +221,110 @@ def trellis_quantize_blocks_jax(coeffs, iquant, ibias, quant, lt):
 
 
 # ---------------------------------------------------------------------------
-# Fixed-shape chunked driver
+# Drivers
 # ---------------------------------------------------------------------------
-# TPU-runtime defect observed through the axon relay: once a trellis-scan
-# executable for N_a blocks has run, re-running a previously-used SMALLER
-# trellis executable (N_b < N_a) poisons the device — every subsequent
-# device op fails with INVALID_ARGUMENT until the process restarts
-# (reproduced with plain jnp programs, no Pallas involved; same-shape
-# reruns and single runs of many shapes are fine).  Routing every trellis
-# call through ONE fixed [TILE, 64] executable sidesteps executable
-# switching entirely, and also bounds the scan's working set.
-
-TILE = 8192
-
-
-@jax.jit
-def _trellis_tile(cinter, iquant, ibias, quant, group, lt_lens):
-    lt = ac_len_table(lt_lens, group)
-    return trellis_quantize_blocks_jax(cinter, iquant, ibias, quant, lt)
-
-
-@jax.jit
-def _tile_slice(x, start):
-    return jax.lax.dynamic_slice_in_dim(x, start, TILE, axis=0)
+# On TPU both drivers hand the whole batch to the VMEM-resident Pallas
+# lattice (ops.pallas_trellis) in ONE device program; the lax.scan
+# formulation above remains the CPU/test oracle.  (A round-3 axon-relay
+# runtime defect forced all trellis calls through one fixed-shape 8192-row
+# executable — ~2 ms of per-dispatch overhead x 48 chunks per 16-image
+# batch; the defect no longer reproduces on the current stack, re-checked
+# with big/small/big executable alternation before this was simplified.)
 
 
 def trellis_quantize_tiled(cinter, iquant, ibias, quant, group, lt_lens):
-    """[N, 64] blocks -> [N, 64] trellis-quantized, in TILE-row chunks.
+    """[N, 64] blocks -> [N, 64] trellis-quantized, shared rate table.
 
     iquant/ibias/quant are per-block [N, 64] rows, group is the [N]
-    table-group row, lt_lens the [2, 256] AC code-length table.  On CPU
-    (tests) this is a single exact-shape call; on TPU every chunk reuses
-    the one [TILE, 64] executable (see defect note above)."""
-    N = cinter.shape[0]
+    table-group row, lt_lens the [2, 256] AC code-length table."""
     if jax.default_backend() == "cpu":
         lt = ac_len_table(lt_lens, group)
         return trellis_quantize_blocks_jax(cinter, iquant, ibias, quant, lt)
-    n_chunks = -(-N // TILE)
-    pad = n_chunks * TILE - N
+    from .pallas_trellis import trellis_quantize_pallas
+    return trellis_quantize_pallas(cinter, iquant, ibias, quant, group,
+                                   jnp.asarray(lt_lens))
+
+
+def _rows_from_mats(m, group, n_images):
+    """[2, 64] / [B, 2, 64] matrices -> per-block [N, 64] rows.  Image
+    -major block layout lines up with the leading axis, so the per-image
+    select is a broadcast where, not a gather."""
+    m = m.astype(jnp.int32)
+    g0 = (group == 0)[:, None]
+    if m.ndim == 2:
+        return jnp.where(g0, m[0][None], m[1][None])
+    per_img = group.shape[0] // n_images
+    g3 = g0.reshape(n_images, per_img, 1)
+    r = jnp.where(g3, m[:, 0][:, None, :], m[:, 1][:, None, :])
+    return r.reshape(-1, 64)
+
+
+@functools.partial(jax.jit, static_argnames=("n_images", "tile",
+                                             "tiles_per_img", "pad"))
+def _pallas_mats(cinter, iquant, ibias, quant, group, lt_lens,
+                 n_images: int, tile: int, tiles_per_img: int, pad: int):
+    from .pallas_trellis import trellis_quantize_pallas
+
     if pad:
-        cinter = jnp.pad(cinter, ((0, pad), (0, 0)))
-        iquant = jnp.pad(iquant, ((0, pad), (0, 0)), constant_values=1)
-        ibias = jnp.pad(ibias, ((0, pad), (0, 0)))
-        quant = jnp.pad(quant, ((0, pad), (0, 0)), constant_values=1)
-        group = jnp.pad(group, (0, pad))
-    outs = []
-    for k in range(n_chunks):
-        start = jnp.int32(k * TILE)
-        outs.append(_trellis_tile(
-            _tile_slice(cinter, start), _tile_slice(iquant, start),
-            _tile_slice(ibias, start), _tile_slice(quant, start),
-            _tile_slice(group, start), lt_lens))
-    q = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=0)
-    return q[:N] if pad else q
+        per = cinter.shape[0] // n_images
+
+        def padrows(x, fill=0):
+            x2 = x.reshape((n_images, per) + x.shape[1:])
+            cfg = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x2, cfg, constant_values=fill).reshape(
+                (-1,) + x.shape[1:])
+
+        cinter, group = padrows(cinter), padrows(group)
+    # expanding the matrices INSIDE the device program keeps the three
+    # [N, 64] broadcast rows as fusion inputs instead of HBM round trips
+    q = trellis_quantize_pallas(
+        cinter, _rows_from_mats(iquant, group, n_images),
+        _rows_from_mats(ibias, group, n_images),
+        _rows_from_mats(quant, group, n_images), group, lt_lens,
+        tile=tile, tiles_per_img=tiles_per_img)
+    if pad:
+        padded = per + pad
+        q = q.reshape(n_images, padded, 64)[:, :per].reshape(-1, 64)
+    return q
+
+
+def trellis_quantize_matrices(cinter, iquant, ibias, quant, group,
+                              lt_lens, n_images: int = 1):
+    """Trellis-quantize [N, 64] image-major blocks straight from the
+    quantizer MATRICES — [2, 64] shared or [B, 2, 64] per image (raster
+    order) — with the per-block row expansion fused into the device
+    program.  lt_lens: [2, 256] shared or [B, 2, 256] per-image rate
+    tables (tiles sized so each grid step reads one image's table)."""
+    lt_lens = jnp.asarray(lt_lens)
+    per_image_tables = lt_lens.ndim == 3
+    if jax.default_backend() == "cpu":
+        iq_r = _rows_from_mats(jnp.asarray(iquant), group, n_images)
+        ib_r = _rows_from_mats(jnp.asarray(ibias), group, n_images)
+        qq_r = _rows_from_mats(jnp.asarray(quant), group, n_images)
+        if per_image_tables:
+            return trellis_quantize_tiled_per_image(
+                cinter, iq_r, ib_r, qq_r, group, lt_lens, n_images)
+        return trellis_quantize_tiled(cinter, iq_r, ib_r, qq_r, group,
+                                      lt_lens)
+    from .pallas_trellis import DEFAULT_TILE
+    if per_image_tables:
+        per = cinter.shape[0] // n_images
+        tile = min(DEFAULT_TILE, -(-per // 128) * 128)
+        padded = -(-per // tile) * tile
+        return _pallas_mats(cinter, iquant, ibias, quant, group, lt_lens,
+                            n_images, tile, padded // tile, padded - per)
+    return _pallas_mats(cinter, iquant, ibias, quant, group, lt_lens,
+                        n_images, DEFAULT_TILE, 0, 0)
 
 
 def trellis_quantize_tiled_per_image(cinter, iquant, ibias, quant, group,
                                      lt_lens3, n_images: int):
     """Per-image rate tables (a dichotomy's evolving optimized tables,
     src/dichotomy.cc:83-85,144): rows are image-major with equal block
-    counts; each image's rows pad to whole TILE chunks so every chunk
-    maps to exactly one image's [2, 256] length table, and the chunks
-    still all reuse the single fixed-shape executable."""
+    counts; each image's rows pad to a whole number of kernel tiles so
+    every grid step maps to exactly one image's [2, 256] length table."""
+    from .pallas_trellis import DEFAULT_TILE, trellis_quantize_pallas
+
     N = cinter.shape[0]
     per = N // n_images
     if jax.default_backend() == "cpu":
@@ -293,7 +335,8 @@ def trellis_quantize_tiled_per_image(cinter, iquant, ibias, quant, group,
             outs.append(trellis_quantize_blocks_jax(
                 cinter[sl], iquant[sl], ibias[sl], quant[sl], lt))
         return jnp.concatenate(outs, axis=0)
-    padded = -(-per // TILE) * TILE
+    tile = min(DEFAULT_TILE, -(-per // 128) * 128)
+    padded = -(-per // tile) * tile
     pad = padded - per
 
     def padrows(x, fill=0):
@@ -304,20 +347,10 @@ def trellis_quantize_tiled_per_image(cinter, iquant, ibias, quant, group,
         return jnp.pad(x2, cfg,
                        constant_values=fill).reshape((-1,) + x.shape[1:])
 
-    cinter = padrows(cinter)
-    iquant = padrows(iquant, 1)
-    ibias = padrows(ibias)
-    quant = padrows(quant, 1)
-    group = padrows(group)
-    chunks_per_img = padded // TILE
-    outs = []
-    for k in range(n_images * chunks_per_img):
-        start = jnp.int32(k * TILE)
-        outs.append(_trellis_tile(
-            _tile_slice(cinter, start), _tile_slice(iquant, start),
-            _tile_slice(ibias, start), _tile_slice(quant, start),
-            _tile_slice(group, start), lt_lens3[k // chunks_per_img]))
-    q = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    q = trellis_quantize_pallas(
+        padrows(cinter), padrows(iquant, 1), padrows(ibias),
+        padrows(quant, 1), padrows(group), jnp.asarray(lt_lens3),
+        tile=tile, tiles_per_img=padded // tile)
     if pad:
         q = q.reshape(n_images, padded, 64)[:, :per].reshape(-1, 64)
     return q

@@ -92,3 +92,73 @@ def reference_encode(reference_bin, ppm_path, out_path, *flags):
     subprocess.run([str(reference_bin), str(ppm_path), "-o", str(out_path),
                     "-quiet", *flags], check=True)
     return out_path.read_bytes()
+
+
+# ---------------------------------------------------------------------------
+# Test tiers.  The default gate (`pytest -m "not slow"`) keeps one
+# representative per feature family and must stay under ~5 minutes; the
+# heavyweight variants below (big interpret-mode kernels, the sharded /
+# multi-process parameter matrix, extra fuzz seeds) carry the same
+# coverage at higher cost and run in the slow tier (CI runs both).
+_SLOW_TESTS = {
+    # engine e2e heavyweights (fast tier keeps
+    # test_device_encode_matches_oracle_end_to_end and the per-image /
+    # trellis / sharp byte-parity representatives)
+    "test_encode_batch_relay_fused_byte_identical",
+    "test_encode_many_mixed_shapes",
+    "test_encode_batch_auto_mode_per_image",
+    "test_encode_batch_sharp_byte_identical",
+    "test_stage_batch_freqs_fused_matches_staged",
+    "test_sample_pack_saturated_chroma_wrap",
+    # interpret-mode Pallas kernel parity (fast tier keeps the tree
+    # -concat pair incl. the truncation-overflow safety path)
+    "test_pallas_sample_pack_per_image_interpret",
+    "test_pallas_quant_pack_matches_xla_interpret",
+    "test_pallas_vlc_pack_per_image_luts_interpret",
+    "test_pallas_sample_pack_matches_interpret",
+    "test_pallas_trellis_kernel_matches_scan_interpret",
+    # sharded-API matrix (fast tier keeps the sub-5s cases plus
+    # test_sharded_stream_matches_oracle[1-8] / ragged_tiny)
+    "test_sharded_byte_identical[True-True-3-1-8]",
+    "test_sharded_byte_identical[True-True-1-1-8]",
+    "test_sharded_byte_identical[True-True-1-2-4]",
+    "test_sharded_byte_identical[True-True-3-2-4]",
+    "test_sharded_byte_identical[True-False-4-1-8]",
+    "test_sharded_byte_identical[True-False-4-2-4]",
+    "test_sharded_byte_identical[False-False-1-1-8]",
+    "test_sharded_byte_identical[False-False-1-2-4]",
+    "test_sharded_ragged_byte_identical[100-52-3-True]",
+    "test_sharded_ragged_byte_identical[270-120-1-False]",
+    "test_sharded_ragged_byte_identical[97-65-1-True]",
+    "test_sharded_ragged_byte_identical[97-65-1-False]",
+    "test_sharded_ragged_byte_identical[120-176-1-False]",
+    "test_sharded_ragged_batch",
+    "test_sharded_share_statistics_valid",
+    "test_sharded_stream_matches_oracle[2-4]",
+    "test_sharded_stream_matches_oracle[4-2]",
+    # multi-process (fast tier keeps the 2-process method-0 case)
+    "test_multiprocess_dp_byte_identical[4-64-48-3-19893]",
+    # searches (fast tier keeps matches_single[True] + trellis search)
+    "test_batch_search_auto_mode_groups",
+    "test_batch_search_planar_gray",
+    "test_batch_size_search_matches_single[False]",
+    # extra fuzz seeds (fast tier keeps one seed per source kind)
+    "test_fuzz_device_planar_matches_oracle[1]",
+    "test_fuzz_device_planar_matches_oracle[2]",
+    "test_fuzz_device_planar_matches_oracle[5]",
+    "test_fuzz_device_nv12_gray_matches_oracle[0]",
+    "test_fuzz_device_nv12_gray_matches_oracle[2]",
+    "test_fuzz_device_nv12_gray_matches_oracle[3]",
+    "test_fuzz_device_rgb_matches_oracle[3]",
+    "test_fuzz_device_rgb_matches_oracle[7]",
+    "test_fuzz_device_rgb_matches_oracle[9]",
+    "test_fuzz_device_search_matches_oracle[2]",
+    "test_fuzz_device_batch_matches_oracle[5]",
+    "test_encode_batch_per_image_byte_identical[True-True-3]",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

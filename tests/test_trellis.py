@@ -147,3 +147,77 @@ def test_batch_trellis_search_matches_single(reference_bin, ppm_dir):
                                "-q", "75", "-yuv_mode", "1", "-trellis",
                                "-size", "700", "-pass", "4")
         assert got[i] == ref
+
+
+def test_pallas_trellis_kernel_matches_scan_interpret():
+    """ops.pallas_trellis (VMEM-resident lattice, the TPU serving path
+    routed through ops.trellis._trellis_tile) is bit-exact vs the XLA
+    scan formulation, shared-table and per-image-table modes, in
+    interpret mode."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu import spec
+    from sjpeg_tpu.huffman import build_code_lut, k3_default_tables
+    from sjpeg_tpu.ops import pallas_trellis as ptr
+    from sjpeg_tpu.ops import trellis as dtr
+
+    rng = np.random.RandomState(17)
+    N = 96
+    coeffs = (rng.randint(-40, 40, (N, 64))
+              * rng.choice([0, 1, 1, 1, 16, 64], (N, 64))).astype(np.int32)
+    coeffs[:8] = rng.randint(-16384, 16385, (8, 64))  # max-magnitude rows
+    coeffs[8:10] = 0
+    group = rng.randint(0, 2, N).astype(np.int32)
+
+    defaults = k3_default_tables()
+    luts = [build_code_lut(defaults[2], 256),
+            build_code_lut(defaults[3], 256)]
+    lens = np.stack([l & 0xFF for l in luts]).astype(np.int32)
+    param = EncoderParam(quality=75)
+    qmats = param.resolved_quant_matrices()
+    minq = param.resolved_min_quant_matrices()
+    qms = [spec.finalize_quant_matrix(qmats[g], minq[g],
+                                      param.quantization_bias)
+           for g in range(2)]
+    sel = lambda k: np.where(group[:, None] == 0, qms[0][k][None],
+                             qms[1][k][None]).astype(np.int32)
+    iq, ib, qq = sel("iquant"), sel("bias"), sel("quant")
+
+    lt = dtr.ac_len_table(jnp.asarray(lens), jnp.asarray(group))
+    want = np.asarray(dtr.trellis_quantize_blocks_jax(
+        jnp.asarray(coeffs), jnp.asarray(iq), jnp.asarray(ib),
+        jnp.asarray(qq), lt))
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        got = np.asarray(ptr.trellis_quantize_pallas.__wrapped__(
+            jnp.asarray(coeffs), jnp.asarray(iq), jnp.asarray(ib),
+            jnp.asarray(qq), jnp.asarray(group), jnp.asarray(lens),
+            tile=64, tiles_per_img=0))
+        np.testing.assert_array_equal(got, want)
+
+        # per-image evolving rate tables (batched dichotomy mode)
+        B, per = 3, N // 3
+        lens3 = np.stack([lens, lens[::-1],
+                          np.minimum(lens + 1, 16)]).astype(np.int32)
+        want2 = []
+        for i in range(B):
+            sl = slice(i * per, (i + 1) * per)
+            lt_i = dtr.ac_len_table(jnp.asarray(lens3[i]),
+                                    jnp.asarray(group[sl]))
+            want2.append(np.asarray(dtr.trellis_quantize_blocks_jax(
+                jnp.asarray(coeffs[sl]), jnp.asarray(iq[sl]),
+                jnp.asarray(ib[sl]), jnp.asarray(qq[sl]), lt_i)))
+        got2 = np.asarray(ptr.trellis_quantize_pallas.__wrapped__(
+            jnp.asarray(coeffs), jnp.asarray(iq), jnp.asarray(ib),
+            jnp.asarray(qq), jnp.asarray(group), jnp.asarray(lens3),
+            tile=16, tiles_per_img=2))
+        np.testing.assert_array_equal(got2, np.concatenate(want2, 0))
+    finally:
+        pl.pallas_call = orig
