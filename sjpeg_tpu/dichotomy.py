@@ -31,6 +31,16 @@ from .tools import estimate_quality
 def header_size_bits(param: EncoderParam, nb_comps: int,
                      tables: List[HuffmanTable]) -> int:
     """The reference's header-size model (src/dichotomy.cc:197-228), bits."""
+    return header_size_bits_nbsyms(
+        param, nb_comps, [t.nb_syms if t is not None else 0
+                          for t in tables])
+
+
+def header_size_bits_nbsyms(param: EncoderParam, nb_comps: int,
+                            nb_syms4) -> int:
+    """header_size_bits from the four tables' symbol counts alone
+    (order [dc_luma, dc_chroma, ac_luma, ac_chroma]) — the form a
+    device-built table pass reports without materializing tables."""
     size = 20                                # APP0
     size += len(param.app_markers)
     if param.exif:
@@ -49,7 +59,7 @@ def header_size_bits(param: EncoderParam, nb_comps: int,
     size += 2                                # EOI
     for c in range(1 if nb_comps == 1 else 2):
         for type_ in range(2):
-            size += 2 + 3 + 16 + tables[type_ * 2 + c].nb_syms
+            size += 2 + 3 + 16 + int(nb_syms4[type_ * 2 + c])
     return size * 8
 
 

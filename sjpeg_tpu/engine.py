@@ -1281,6 +1281,27 @@ def _stage_eval_size_batch(words, totals):
                       _stage_count_stuffing_batch(words, totals)])
 
 
+@jax.jit
+def _stage_eval_size_one(words, total, nbs):
+    """[6] vector (total bits, stuffing bytes, 4x nb_syms) — the single
+    -image analog of `_stage_eval_size_nbs`, one fetch per pass."""
+    return jnp.concatenate(
+        [jnp.stack([total.astype(jnp.int32),
+                    _stage_count_stuffing(words, total).astype(
+                        jnp.int32)]),
+         jnp.reshape(nbs, (-1,)).astype(jnp.int32)])
+
+
+@jax.jit
+def _stage_eval_size_nbs(words, totals, nbs):
+    """[6, B] stacked (total bits, stuffing bytes, 4x per-table symbol
+    counts) — the whole size evaluation of a device-tables search pass
+    in ONE fetch (nb_syms feeds the host header-size model)."""
+    return jnp.concatenate(
+        [_stage_eval_size_batch(words, totals),
+         jnp.transpose(nbs).astype(jnp.int32)], axis=0)
+
+
 def _batch_qerr(coeffs, iquant3, ibias3, quant3, n_images: int):
     """Per-image exact uint64 squared quantization error (PSNR search):
     per-component [N, 64] coeffs (image-major rows) against [B, 2, 64]
@@ -1329,7 +1350,8 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
     tables -> per-image-LUT pack + stuffing count) or PSNR (per-image
     uint64 quantize-error).  Hook updates and table builds stay on host.
     """
-    from .dichotomy import get_psnr, header_size_bits
+    from .dichotomy import (get_psnr, header_size_bits,
+                            header_size_bits_nbsyms)
     from .params import SearchHook
     from .tools import estimate_quality
 
@@ -1371,8 +1393,9 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
     # last-pass-is-best image reproduces its stored bytes
     if trellis:
         base_lens = np.asarray(_trellis_cost_lens())
-        lens_np = np.broadcast_to(base_lens, (b, 2, 256)).copy()
-        lens_prev_np = lens_np.copy()
+        lens_dev = jnp.asarray(np.broadcast_to(
+            base_lens, (b, 2, 256)).astype(np.int32))
+        lens_prev_dev = lens_dev
         last_best = [False] * b
 
     def trellis_eval(iq3, ib3, per_qms, lens_arr):
@@ -1484,31 +1507,52 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
 
         if for_size:
             if trellis:
-                vlc_state, freqs = trellis_eval(iq3, ib3, per_qms, lens_np)
-                tabs, dcl, acl, per_tabs = build_tables(freqs)
-                from .huffman import overlay_code_lut
-                for i in range(b):
-                    if done[i] or overflow[i]:
-                        continue            # image's own loop has exited
-                    lens_prev_np[i] = lens_np[i]
-                    lens_np[i, 0] = overlay_code_lut(
-                        lens_np[i, 0].astype(np.uint32), tabs[i][2]) & 0xFF
-                    if tabs[i][3] is not None:
-                        lens_np[i, 1] = overlay_code_lut(
-                            lens_np[i, 1].astype(np.uint32),
-                            tabs[i][3]) & 0xFF
+                from .ops import huffman_device as hd
+                vlc_state, freqs = trellis_eval(iq3, ib3, per_qms,
+                                                lens_dev)
+                dcl, acl, nbs_dev = hd.luts_from_freqs(
+                    jnp.reshape(freqs[0], (b, 2, -1)),
+                    jnp.reshape(freqs[1], (b, 2, -1)), n_groups)
+                # evolve the per-image trellis rate tables on device
+                # (reference InitCodes overlay: only symbols PRESENT in
+                # the new table get new lengths); images whose own loop
+                # has exited keep their state frozen
+                upd = jnp.asarray(np.array(
+                    [not (done[i] or overflow[i]) for i in range(b)]
+                ))[:, None, None]
+                lens_prev_dev = jnp.where(upd, lens_dev, lens_prev_dev)
+                new_lens = (acl & 0xFF).astype(jnp.int32)
+                lens_dev = jnp.where(upd & (new_lens > 0), new_lens,
+                                     lens_dev)
                 words, totals = _stage_batch_pack(
                     vlc_state, dcl, acl, n_images=b, bucket=bucket,
-                    per_image_tables=per_tabs)
-            else:
+                    per_image_tables=True)
+            elif flags["optimize_size"]:
+                # optimal tables built ON DEVICE: the whole pass is one
+                # dispatch chain (freqs -> merge -> LUTs -> pack) with a
+                # single [6, B] fetch — no freqs round trip, no host
+                # merge, no LUT upload on the search's critical path
+                from .ops import huffman_device as hd
                 freqs = batched_freqs(iq3, ib3)
-                tabs, dcl, acl, per_tabs = build_tables(freqs)
+                dcl, acl, nbs_dev = hd.luts_from_freqs(
+                    jnp.reshape(freqs[0], (b, 2, -1)),
+                    jnp.reshape(freqs[1], (b, 2, -1)), n_groups)
+                words, totals = batched_pack(iq3, ib3, dcl, acl, True,
+                                             bucket)
+            else:
+                tabs, dcl, acl, per_tabs = build_tables(None)
                 words, totals = batched_pack(iq3, ib3, dcl, acl, per_tabs,
                                              bucket)
-            # one [2, B] fetch for (totals, stuffing counts): per-pass
+            # one fetch for (totals, stuffing counts, nb_syms): per-pass
             # evaluation costs a single device round trip (the dev
             # tunnel's ~40 ms RPC latency dominates the search loop)
-            ts = np.asarray(_stage_eval_size_batch(words, totals))
+            if not flags["optimize_size"]:
+                ts = np.asarray(_stage_eval_size_batch(words, totals))
+                nbs = None
+            else:
+                ts = np.asarray(_stage_eval_size_nbs(words, totals,
+                                                     nbs_dev))
+                nbs = ts[2:6].T
             totals_np, stuffs = ts[0], ts[1]
             results = []
             for i in range(b):
@@ -1517,8 +1561,13 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
                     overflow[i] = True
                     results.append(None)
                     continue
-                bits = (header_size_bits(param, layout.nb_comps, tabs[i])
-                        + int(totals_np[i]) + 8 * int(stuffs[i]))
+                if nbs is None:
+                    hdr = header_size_bits(param, layout.nb_comps,
+                                           tabs[i])
+                else:
+                    hdr = header_size_bits_nbsyms(
+                        param, layout.nb_comps, nbs[i])
+                bits = (hdr + int(totals_np[i]) + 8 * int(stuffs[i]))
                 results.append(float(np.float32(bits / 8.0)))
         else:
             q3 = jnp.asarray(np.stack(
@@ -1576,9 +1625,9 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
         # ENTRY rate tables (the reference reuses its stored run-levels,
         # quantized before the pass's table update); otherwise the final
         # StoreRunLevels runs with the loop-exit state
-        final_lens = (np.where(np.asarray(last_best)[:, None, None],
-                               lens_prev_np, lens_np)
-                      if for_size else lens_np)
+        final_lens = (jnp.where(jnp.asarray(last_best)[:, None, None],
+                                lens_prev_dev, lens_dev)
+                      if for_size else lens_dev)
         vlc_state, freqs = trellis_eval(iq3, ib3, final_qms, final_lens)
         tabs, dcl, acl, per_tabs = build_tables(freqs)
         words, totals = _stage_batch_pack(
@@ -1609,22 +1658,6 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
     return out
 
 
-def _lens_from_tables(tables, prev):
-    """[2, 256] AC code lengths refreshed from optimized tables with the
-    reference's persistent-array InitCodes semantics (src/enc.cc:451-463,
-    src/dichotomy.cc:85,144): only symbols PRESENT in the new table get new
-    lengths; absent symbols keep their previous (ultimately K.3-default)
-    lengths — the trellis rate model reads those stale entries."""
-    from .huffman import overlay_code_lut
-    lens = np.asarray(prev).copy()
-    lens[0] = overlay_code_lut(lens[0].astype(np.uint32),
-                               tables[2]) & 0xFF
-    if tables[3] is not None:
-        lens[1] = overlay_code_lut(lens[1].astype(np.uint32),
-                                   tables[3]) & 0xFF
-    return jnp.asarray(lens.astype(np.int32))
-
-
 def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
     """Target-size / target-PSNR dichotomy over device-resident coeffs.
 
@@ -1638,7 +1671,7 @@ def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
     optimized tables feed the next pass's trellis (InitCodes(true) in
     StoreRunLevels, src/dichotomy.cc:83-85,144).
     """
-    from .dichotomy import header_size_bits
+    from .dichotomy import header_size_bits, header_size_bits_nbsyms
     from .params import SearchHook
     from .tools import estimate_quality
 
@@ -1700,14 +1733,24 @@ def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
             vlc_state, freqs = quantize_stage(
                 qms, iq, ib, with_stats=flags["optimize_size"])
             if flags["optimize_size"]:
-                tables = optimal_tables_from_freqs(
-                    np.asarray(freqs[0]).astype(np.int64),
-                    np.asarray(freqs[1]).astype(np.int64), n_groups)
-                if n_groups == 1:
-                    tables[1], tables[3] = defaults[1], defaults[3]
+                # optimal tables built ON DEVICE (ops.huffman_device):
+                # the pass runs freqs -> merge -> LUTs -> pack as one
+                # dispatch chain with a single (total, stuffing,
+                # nb_syms) fetch; the winning pass's frequencies are
+                # kept device-resident and fetched once at the end for
+                # the DHT emission tables
+                from .ops import huffman_device as hd
+                dcl1, acl1, nbs_dev = hd.luts_from_freqs(
+                    jnp.reshape(freqs[0], (1, 2, -1)),
+                    jnp.reshape(freqs[1], (1, 2, -1)), n_groups)
+                dc_luts, ac_luts = dcl1[0], acl1[0]
                 if flags["use_trellis"]:
-                    cost_lens = _lens_from_tables(tables, cost_lens)
-            dc_luts, ac_luts = _device_luts(tables)
+                    new_lens = (ac_luts & 0xFF).astype(jnp.int32)
+                    cost_lens = jnp.where(new_lens > 0, new_lens,
+                                          cost_lens)
+            else:
+                nbs_dev = None
+                dc_luts, ac_luts = _device_luts(tables)
             # The per-pass size must match the reference's BitCounter
             # (src/bit_writer.h:157-168, dichotomy.cc:263-270) bit-exactly —
             # it counts 0xFF stuffing bytes, and the float size feeds the
@@ -1716,11 +1759,18 @@ def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
             # bytes is the device equivalent of the reference's O(blocks)
             # BlocksSize replay.
             words, total = _stage_pack(vlc_state, dc_luts, ac_luts)
-            stuff = int(_stage_count_stuffing(words, total))
-            bits = (header_size_bits(param, layout.nb_comps, tables)
-                    + int(total) + 8 * stuff)
+            if nbs_dev is None:
+                stuff = int(_stage_count_stuffing(words, total))
+                hdr = header_size_bits(param, layout.nb_comps, tables)
+                bits = hdr + int(total) + 8 * stuff
+            else:
+                ts = np.asarray(_stage_eval_size_one(words, total,
+                                                     nbs_dev))
+                hdr = header_size_bits_nbsyms(param, layout.nb_comps,
+                                              ts[2:6])
+                bits = hdr + int(ts[0]) + 8 * int(ts[1])
             result = float(np.float32(bits / 8.0))
-            state = (words, total, tables, qms)
+            state = (words, total, freqs, qms)
         else:
             quant = jnp.asarray(np.stack([qms[0]["quant"],
                                           qms[1]["quant"]]).astype(np.int32))
@@ -1758,8 +1808,17 @@ def _encode_search_device(coeffs, histos, layout, param: EncoderParam):
         dc_luts, ac_luts = _device_luts(tables)
         words, total = _stage_pack(vlc_state, dc_luts, ac_luts)
     else:
-        words, total, tables, qms_used = state
+        words, total, freqs_best, qms_used = state
         qms = qms_used
+        if flags["optimize_size"]:
+            # one end-of-search fetch of the winning pass's frequencies
+            # rebuilds the emission tables (device LUTs already packed
+            # the scan with the identical codes)
+            tables = optimal_tables_from_freqs(
+                np.asarray(freqs_best[0]).astype(np.int64),
+                np.asarray(freqs_best[1]).astype(np.int64), n_groups)
+            if n_groups == 1:
+                tables[1], tables[3] = defaults[1], defaults[3]
 
     scan = _finalize_scan_bytes(words, int(total))
     return _assemble_jpeg(layout, param, qms, tables, scan)
