@@ -28,6 +28,14 @@ def encode_batch(rgbs, param=None, **kw) -> list:
     return _eb(rgbs, param, **kw)
 
 
+def encode_pipelined(batches, param=None, depth=2, **kw):
+    """Pipelined encode_batch over an iterable of batches (sustained
+    -throughput serving: overlaps one batch's result fetch with the next
+    batch's device work).  Yields per-batch JPEG lists in order."""
+    from .engine import encode_pipelined as _ep
+    yield from _ep(batches, param, depth=depth, **kw)
+
+
 def encode_many(images, param=None, **kw) -> list:
     """Encode a mixed-shape list of RGB images (grouped per shape)."""
     from .engine import encode_many as _em
@@ -77,6 +85,7 @@ def encode(rgb, param=None, backend: str = "auto") -> bytes:
 
 __all__ = [
     "EncoderParam", "SearchHook", "encode", "encode_batch", "encode_many",
+    "encode_pipelined",
     "encode_batch_yuv", "encode_batch_gray", "encode_batch_nv12",
     "encode_batch_nv21", "encode_batch_sharded", "version",
     "host_encode_rgb", "host_encode_gray", "host_encode_yuv",

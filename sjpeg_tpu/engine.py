@@ -546,6 +546,36 @@ def encode_batch(rgbs, param: Optional["EncoderParam"] = None,
                              bits_per_pixel_budget, share_statistics)
 
 
+def encode_pipelined(batches, param: Optional["EncoderParam"] = None,
+                     depth: int = 2, **kw):
+    """Pipelined batched encoding for sustained throughput.
+
+    Runs up to `depth` `encode_batch` calls in flight on worker threads
+    so one batch's result fetch + host assembly overlaps the next
+    batch's device programs (device dispatch is async and the transport
+    serves concurrent fetches; the device itself executes programs
+    back-to-back).  In steady state the wall time per batch approaches
+    the pure device time — the double-buffering that hides the
+    host<->device transfer the one-shot `encode_batch` pays serially.
+
+    `batches` is an iterable of [B, H, W, 3] uint8 arrays (or whatever
+    `encode_batch` accepts); yields each batch's list of JPEG byte
+    strings, in order.  Works for every mode incl. multi-pass searches,
+    where it additionally overlaps one batch's per-pass size fetches
+    with another batch's pass programs."""
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    pend = collections.deque()
+    with ThreadPoolExecutor(max_workers=max(depth, 1)) as pool:
+        for batch in batches:
+            pend.append(pool.submit(encode_batch, batch, param, **kw))
+            if len(pend) > depth:
+                yield pend.popleft().result()
+        while pend:
+            yield pend.popleft().result()
+
+
 def encode_many(images, param: Optional["EncoderParam"] = None,
                 **kw) -> list:
     """Encode a heterogeneous sequence of RGB uint8 images ([H, W, 3],
@@ -1140,23 +1170,16 @@ def _encode_batch_optimized(src, param: EncoderParam,
             per_tables = [tables] * b
             dc_luts, ac_luts = _device_luts(tables)
         else:
-            fdc = np.asarray(freqs[0]).astype(np.int64).reshape(b, 2, 12)
-            fac = np.asarray(freqs[1]).astype(np.int64).reshape(b, 2, 256)
-
-            def build(i):
-                t = optimal_tables_from_freqs(fdc[i], fac[i], n_groups)
-                if n_groups == 1:
-                    t[1], t[3] = defaults[1], defaults[3]
-                return t
-
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-                per_tables = list(pool.map(build, range(b)))
-            dc_np = np.zeros((b, 2, 16), np.uint32)
-            ac_np = np.zeros((b, 2, 256), np.uint32)
-            for i, t in enumerate(per_tables):
-                dc_np[i], ac_np[i] = _host_luts(t)
-            dc_luts, ac_luts = jnp.asarray(dc_np), jnp.asarray(ac_np)
+            # per-image optimal tables built ON DEVICE: no freqs fetch,
+            # no host merge, no LUT upload — the DHT description for
+            # emission comes back with one flat fetch after the pack
+            from .ops import huffman_device as hd
+            dc_luts, ac_luts, nbs_dev, desc_dev = \
+                hd.luts_and_desc_from_freqs(
+                    jnp.reshape(freqs[0], (b, 2, -1)),
+                    jnp.reshape(freqs[1], (b, 2, -1)), n_groups)
+            desc_flat = hd.desc_to_flat(nbs_dev, desc_dev)
+            per_tables = None
             per_image_tables = True
     else:
         tables = k3_default_tables()
@@ -1178,6 +1201,12 @@ def _encode_batch_optimized(src, param: EncoderParam,
                                           per_image_tables=per_image_tables)
     totals_np = np.asarray(totals)
     words_np = fetch_streams_batch(words, totals_np)
+    if per_tables is None:
+        # device-built tables: one flat fetch of the DHT descriptions
+        from .ops import huffman_device as hd
+        flat_np = np.asarray(desc_flat)
+        per_tables = [hd.tables_from_flat(flat_np, i, n_groups)
+                      for i in range(b)]
 
     per_img = n_blocks_img
     out = []
@@ -1281,6 +1310,39 @@ def _stage_eval_size_batch(words, totals):
                       _stage_count_stuffing_batch(words, totals)])
 
 
+@functools.partial(jax.jit, static_argnames=("nb_blocks", "n_images",
+                                             "n_groups"))
+def _stage_search_tables(coeffs, iquant3, ibias3, nb_blocks,
+                         n_images: int, n_groups: int):
+    """Quantize the cached coefficients ONCE -> VLC fields + per-image
+    symbol stats -> device-built optimal Huffman LUTs
+    (ops.huffman_device).  With the pack program chained after it, a
+    size-search pass runs as one dispatch chain with one fetch —
+    replacing the round-3 freqs-program + freqs-fetch + host-merge +
+    LUT-upload + pack-program structure (src/dichotomy.cc:106-192
+    per-pass semantics, byte-exact).  Kept separate from the Pallas
+    pack program so each stays an independently compiled executable."""
+    from .ops import huffman_device as hd
+    vlc_state, freqs = _stage_batch_quantize(
+        coeffs, iquant3, ibias3, with_stats=True, nb_blocks=nb_blocks,
+        n_images=n_images, per_image_stats=True)
+    dcl, acl, nbs = hd.luts_from_freqs(
+        jnp.reshape(freqs[0], (n_images, 2, -1)),
+        jnp.reshape(freqs[1], (n_images, 2, -1)), n_groups)
+    return vlc_state, dcl, acl, nbs
+
+
+def _stage_search_pass(coeffs, iquant3, ibias3, nb_blocks, n_images: int,
+                       n_groups: int, bucket: int):
+    """One size-search pass: two chained device programs, one fetch."""
+    vlc_state, dcl, acl, nbs = _stage_search_tables(
+        coeffs, iquant3, ibias3, nb_blocks, n_images, n_groups)
+    words, totals = _stage_batch_pack(vlc_state, dcl, acl,
+                                      n_images=n_images, bucket=bucket,
+                                      per_image_tables=True)
+    return words, totals, _stage_eval_size_nbs(words, totals, nbs)
+
+
 @jax.jit
 def _stage_eval_size_one(words, total, nbs):
     """[6] vector (total bits, stuffing bytes, 4x nb_syms) — the single
@@ -1374,17 +1436,16 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
         hooks.append(hk)
 
     trellis = flags["use_trellis"]
-    relay_fused = _relay_backend() and not trellis
-    if relay_fused:
-        coeffs = None
-        histos = (_stage_batch_histos_fused(
-            src, yuv_mode=yuv_mode, width=w, height=h, stats_images=b,
-            src_kind=src_kind) if flags["use_adaptive_quant"] else None)
-    else:
-        coeffs, histos = _stage_batch_coeffs(
-            src, yuv_mode=yuv_mode, width=w, height=h,
-            with_histo=flags["use_adaptive_quant"], n_images=b,
-            src_kind=src_kind)
+    # the search always caches the fDCT coefficients on device and
+    # re-quantizes them per pass (the reference's CollectCoeffs +
+    # StoreRunLevels replay, src/dichotomy.cc:110-146) — re-deriving
+    # them from source every pass costs a color+fDCT per pass for
+    # nothing
+    relay_fused = False
+    coeffs, histos = _stage_batch_coeffs(
+        src, yuv_mode=yuv_mode, width=w, height=h,
+        with_histo=flags["use_adaptive_quant"], n_images=b,
+        src_kind=src_kind)
 
     # per-image trellis rate-table state (methods 7/8): lens evolve per
     # image exactly like the reference's persistent ac_codes_ arrays
@@ -1529,16 +1590,12 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
                     per_image_tables=True)
             elif flags["optimize_size"]:
                 # optimal tables built ON DEVICE: the whole pass is one
-                # dispatch chain (freqs -> merge -> LUTs -> pack) with a
-                # single [6, B] fetch — no freqs round trip, no host
-                # merge, no LUT upload on the search's critical path
-                from .ops import huffman_device as hd
-                freqs = batched_freqs(iq3, ib3)
-                dcl, acl, nbs_dev = hd.luts_from_freqs(
-                    jnp.reshape(freqs[0], (b, 2, -1)),
-                    jnp.reshape(freqs[1], (b, 2, -1)), n_groups)
-                words, totals = batched_pack(iq3, ib3, dcl, acl, True,
-                                             bucket)
+                # fused device program (quantize once -> freqs -> merge
+                # -> LUTs -> pack) with a single [6, B] fetch — no freqs
+                # round trip, no host merge, no LUT upload on the
+                # search's critical path
+                words, totals, eval6 = _stage_search_pass(
+                    coeffs, iq3, ib3, nb_blocks, b, n_groups, bucket)
             else:
                 tabs, dcl, acl, per_tabs = build_tables(None)
                 words, totals = batched_pack(iq3, ib3, dcl, acl, per_tabs,
@@ -1549,9 +1606,12 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
             if not flags["optimize_size"]:
                 ts = np.asarray(_stage_eval_size_batch(words, totals))
                 nbs = None
-            else:
+            elif trellis:
                 ts = np.asarray(_stage_eval_size_nbs(words, totals,
                                                      nbs_dev))
+                nbs = ts[2:6].T
+            else:
+                ts = np.asarray(eval6)
                 nbs = ts[2:6].T
             totals_np, stuffs = ts[0], ts[1]
             results = []

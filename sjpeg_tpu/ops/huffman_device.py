@@ -39,15 +39,19 @@ import numpy as np
 _BIG = np.int32(0x7FFFFFFF)
 
 
-@functools.partial(jax.jit, static_argnames=("size", "lut_size"))
-def optimal_code_luts(freq, size: int, lut_size: int = 0):
+@functools.partial(jax.jit, static_argnames=("size", "lut_size",
+                                             "with_syms"))
+def optimal_code_luts(freq, size: int, lut_size: int = 0,
+                      with_syms: bool = False):
     """[G, W] int32 frequencies -> (lut [G, lut_size] uint32,
-    bits [G, 16] int32, nb_syms [G] int32).
+    bits [G, 16] int32, nb_syms [G] int32[, syms [G, size] int32]).
 
     `size` = symbol count (12 for DC, 256 for AC); W must be >= size+1
     (slot `size` is used for the fake symbol).  Rows with all-zero
     frequencies produce all-zero LUTs (the host path never emits such a
-    table)."""
+    table).  with_syms additionally returns the symbol-at-position
+    array (the DHT emission order, first nb_syms entries meaningful,
+    including the host's inserted-0 artifact at the fake position)."""
     if lut_size == 0:
         lut_size = size if size > 16 else 16
     G, W = freq.shape
@@ -203,7 +207,90 @@ def optimal_code_luts(freq, size: int, lut_size: int = 0):
         lut = jnp.pad(lut, ((0, 0), (0, lut_size - size)))
     else:
         lut = lut[:, :lut_size]
-    return lut, bits16, nb_syms
+    if not with_syms:
+        return lut, bits16, nb_syms
+    # symbol-at-position (DHT order): scatter each in-range symbol to
+    # its position; the fake position keeps the initialized 0 (exactly
+    # the host's np.insert(..., fake_pos, 0) artifact)
+    symid = jnp.broadcast_to(jnp.arange(size, dtype=jnp.int32)[None, :],
+                             (G, size))
+    pos_c = jnp.where(p_ok, pos, size)         # out-of-range drops
+    syms = jnp.zeros((G, size + 1), jnp.int32).at[
+        jnp.arange(G)[:, None], pos_c].set(symid)[:, :size]
+    return lut, bits16, nb_syms, syms
+
+
+def luts_and_desc_from_freqs(freq_dc, freq_ac, nb_tables: int = 2):
+    """luts_from_freqs plus the device-resident DHT description:
+    (dc_luts [B, 2, 16], ac_luts [B, 2, 256], nb_syms [B, 4],
+    desc = (dc_bits [B, 2, 16], ac_bits [B, 2, 16],
+            dc_syms [B, 2, 12], ac_syms [B, 2, 256])).
+    A single end-of-encode fetch of `desc` + nb_syms reconstructs the
+    emission HuffmanTables (tables_from_desc) without ever fetching the
+    frequencies."""
+    B = freq_dc.shape[0]
+    fdc = freq_dc.reshape(B * 2, -1)[:, :12].astype(jnp.int32)
+    fac = freq_ac.reshape(B * 2, -1)[:, :256].astype(jnp.int32)
+    if nb_tables == 1:
+        keep = (jnp.arange(B * 2) % 2) == 0
+        fdc = jnp.where(keep[:, None], fdc, 0)
+        fac = jnp.where(keep[:, None], fac, 0)
+    fdc = jnp.pad(fdc, ((0, 0), (0, 16 - 12)))
+    fac = jnp.pad(fac, ((0, 0), (0, 257 + 63 - 256)))
+    dc_luts, dc_bits, nb_dc, dc_syms = optimal_code_luts(
+        fdc, 12, 16, with_syms=True)
+    ac_luts, ac_bits, nb_ac, ac_syms = optimal_code_luts(
+        fac, 256, 256, with_syms=True)
+    nb = jnp.stack([nb_dc.reshape(B, 2)[:, 0], nb_dc.reshape(B, 2)[:, 1],
+                    nb_ac.reshape(B, 2)[:, 0], nb_ac.reshape(B, 2)[:, 1]],
+                   axis=1)
+    desc = (dc_bits.reshape(B, 2, 16), ac_bits.reshape(B, 2, 16),
+            dc_syms.reshape(B, 2, 12), ac_syms.reshape(B, 2, 256))
+    return dc_luts.reshape(B, 2, 16), ac_luts.reshape(B, 2, 256), nb, desc
+
+
+def desc_to_flat(nbs, desc):
+    """(nb_syms [B, 4], desc arrays) -> one [B, 604] int32 array so the
+    whole DHT description rides a single fetch."""
+    dc_bits, ac_bits, dc_syms, ac_syms = desc
+    B = nbs.shape[0]
+    return jnp.concatenate(
+        [nbs.astype(jnp.int32), dc_bits.reshape(B, -1),
+         ac_bits.reshape(B, -1), dc_syms.reshape(B, -1),
+         ac_syms.reshape(B, -1)], axis=1)
+
+
+def tables_from_flat(flat_np, i: int, nb_tables: int = 2):
+    """Fetched [B, 604] desc_to_flat array -> image i's HuffmanTables."""
+    nbs = flat_np[:, 0:4]
+    desc = (flat_np[:, 4:36].reshape(-1, 2, 16),
+            flat_np[:, 36:68].reshape(-1, 2, 16),
+            flat_np[:, 68:92].reshape(-1, 2, 12),
+            flat_np[:, 92:604].reshape(-1, 2, 256))
+    return tables_from_desc(nbs, desc, i, nb_tables)
+
+
+def tables_from_desc(nbs_np, desc_np, i: int, nb_tables: int = 2):
+    """Fetched nb_syms [B, 4] + desc arrays -> image i's four
+    HuffmanTables ([dc_l, dc_c, ac_l, ac_c]; chroma entries are the K.3
+    defaults when nb_tables == 1), identical to the host
+    optimal_tables_from_freqs result for the same frequencies."""
+    from ..huffman import HuffmanTable, k3_default_tables
+    dc_bits, ac_bits, dc_syms, ac_syms = desc_np
+    tables = [None] * 4
+    for c in range(nb_tables):
+        ndc = int(nbs_np[i, c])
+        nac = int(nbs_np[i, 2 + c])
+        tables[c] = HuffmanTable(
+            bits=dc_bits[i, c].astype(np.uint8),
+            syms=dc_syms[i, c, :ndc].astype(np.uint8), nb_syms=ndc)
+        tables[2 + c] = HuffmanTable(
+            bits=ac_bits[i, c].astype(np.uint8),
+            syms=ac_syms[i, c, :nac].astype(np.uint8), nb_syms=nac)
+    if nb_tables == 1:
+        defaults = k3_default_tables()
+        tables[1], tables[3] = defaults[1], defaults[3]
+    return tables
 
 
 def luts_from_freqs(freq_dc, freq_ac, nb_tables: int = 2):

@@ -121,3 +121,40 @@ def test_device_huffman_real_engine_freqs():
         want_nb = [tabs[0].nb_syms, tabs[1].nb_syms,
                    tabs[2].nb_syms, tabs[3].nb_syms]
         np.testing.assert_array_equal(nbs[i], want_nb, err_msg=f"img {i}")
+
+
+def test_device_table_desc_matches_host_tables():
+    """The device DHT description (bits + symbol order + nb_syms) must
+    reconstruct exactly the host-built HuffmanTables."""
+    rng = np.random.RandomState(11)
+    from sjpeg_tpu.huffman import optimal_tables_from_freqs
+
+    B = 6
+    fdc = np.zeros((B, 2, 12), np.int64)
+    fac = np.zeros((B, 2, 256), np.int64)
+    for i in range(B):
+        for g in range(2):
+            n = rng.randint(1, 12)
+            fdc[i, g, rng.choice(12, n, replace=False)] = rng.randint(
+                1, 1 << 20, n)
+            n = rng.randint(2, 200)
+            idx = rng.choice(256, n, replace=False)
+            fac[i, g, idx] = rng.randint(1, 50, n) * rng.choice(
+                [1, 1, 7, 1000], n)
+    dcl, acl, nbs, desc = hd.luts_and_desc_from_freqs(
+        jnp.asarray(fdc.astype(np.int32)),
+        jnp.asarray(fac.astype(np.int32)), 2)
+    nbs_np = np.asarray(nbs)
+    desc_np = tuple(np.asarray(d) for d in desc)
+    for i in range(B):
+        want = optimal_tables_from_freqs(fdc[i], fac[i], 2)
+        got = hd.tables_from_desc(nbs_np, desc_np, i, 2)
+        for t in range(4):
+            np.testing.assert_array_equal(
+                got[t].bits, np.pad(want[t].bits,
+                                    (0, 16 - len(want[t].bits))),
+                err_msg=f"img {i} table {t} bits")
+            np.testing.assert_array_equal(
+                got[t].syms, want[t].syms[:want[t].nb_syms],
+                err_msg=f"img {i} table {t} syms")
+            assert got[t].nb_syms == want[t].nb_syms

@@ -226,3 +226,19 @@ def test_encode_many_mixed_shapes():
     got = engine.encode_many(imgs, param)
     for i, img in enumerate(imgs):
         assert got[i] == engine.encode_rgb(img, param), i
+
+
+def test_encode_pipelined_matches_encode_batch():
+    """encode_pipelined (double-buffered serving wrapper) yields exactly
+    encode_batch's bytes for every batch, in order."""
+    import numpy as np
+    from sjpeg_tpu import EncoderParam, constants as C
+    from sjpeg_tpu.engine import encode_batch, encode_pipelined
+
+    rng = np.random.RandomState(4)
+    batches = [rng.randint(0, 256, (2, 40, 48, 3), dtype=np.uint8)
+               for _ in range(4)]
+    param = EncoderParam(quality=77, yuv_mode=C.YUV_420)
+    want = [encode_batch(b, param) for b in batches]
+    got = list(encode_pipelined(iter(batches), param, depth=2))
+    assert got == want
