@@ -28,10 +28,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as C
 
-_KMAX = jnp.uint32(0xFFFFFFFF)
+# np scalar, NOT jnp: a module-level device-array constant gets reused
+# as a tracing constant across contexts; after a shard_map trace the
+# shared buffer desyncs the jit fastpath ("supplied N buffers but
+# compiled program expected M") on identically-shaped eager reruns
+_KMAX = np.uint32(0xFFFFFFFF)
 _SINK = 126
 
 
@@ -288,6 +293,38 @@ def _pallas_mats(cinter, iquant, ibias, quant, group, lt_lens,
     return q
 
 
+def trellis_quantize_matrices_inline(cinter, iquant, ibias, quant, group,
+                                     lt_lens, n_images: int = 1):
+    """trellis_quantize_matrices without the nested jit, for use INSIDE
+    shard_map / jit bodies: a nested jit's cache entry compiled under a
+    mesh trace context can collide with an identically-shaped eager call
+    ("supplied N buffers but compiled program expected M")."""
+    iq_r = _rows_from_mats(iquant, group, n_images)
+    ib_r = _rows_from_mats(ibias, group, n_images)
+    qq_r = _rows_from_mats(quant, group, n_images)
+    if jax.default_backend() == "cpu":
+        lt = ac_len_table(lt_lens, group)
+        return trellis_quantize_blocks_jax.__wrapped__(
+            cinter, iq_r, ib_r, qq_r, lt)
+    from .pallas_trellis import trellis_quantize_pallas
+    return trellis_quantize_pallas.__wrapped__(
+        cinter, iq_r, ib_r, qq_r, group, jnp.asarray(lt_lens))
+
+
+@functools.partial(jax.jit, static_argnames=("n_images",))
+def _scan_mats(cinter, iquant, ibias, quant, group, lt_lens,
+               n_images: int):
+    """CPU path: rows + rate table + lattice scan as ONE program.  (A
+    top-level jit of its own: after the sharded pipeline traces the scan
+    body under a mesh context, re-executing the bare
+    trellis_quantize_blocks_jax wrapper hits an executable whose hoisted
+    constants no longer match — "supplied 5 buffers but compiled program
+    expected 7"; keeping the serial CPU entry in a separate jit whose
+    constants live inside the program sidesteps that.)"""
+    return trellis_quantize_matrices_inline(
+        cinter, iquant, ibias, quant, group, lt_lens, n_images)
+
+
 def trellis_quantize_matrices(cinter, iquant, ibias, quant, group,
                               lt_lens, n_images: int = 1):
     """Trellis-quantize [N, 64] image-major blocks straight from the
@@ -298,14 +335,22 @@ def trellis_quantize_matrices(cinter, iquant, ibias, quant, group,
     lt_lens = jnp.asarray(lt_lens)
     per_image_tables = lt_lens.ndim == 3
     if jax.default_backend() == "cpu":
-        iq_r = _rows_from_mats(jnp.asarray(iquant), group, n_images)
-        ib_r = _rows_from_mats(jnp.asarray(ibias), group, n_images)
-        qq_r = _rows_from_mats(jnp.asarray(quant), group, n_images)
-        if per_image_tables:
-            return trellis_quantize_tiled_per_image(
-                cinter, iq_r, ib_r, qq_r, group, lt_lens, n_images)
-        return trellis_quantize_tiled(cinter, iq_r, ib_r, qq_r, group,
-                                      lt_lens)
+        iquant = jnp.asarray(iquant)
+        ibias = jnp.asarray(ibias)
+        quant = jnp.asarray(quant)
+        if not per_image_tables:
+            return _scan_mats(cinter, iquant, ibias, quant, group,
+                              lt_lens, n_images)
+        per = cinter.shape[0] // n_images
+        outs = []
+        for i in range(n_images):
+            sl = slice(i * per, (i + 1) * per)
+            outs.append(_scan_mats(
+                cinter[sl], iquant[i] if iquant.ndim == 3 else iquant,
+                ibias[i] if ibias.ndim == 3 else ibias,
+                quant[i] if quant.ndim == 3 else quant,
+                group[sl], lt_lens[i], 1))
+        return jnp.concatenate(outs, axis=0)
     from .pallas_trellis import DEFAULT_TILE
     if per_image_tables:
         per = cinter.shape[0] // n_images

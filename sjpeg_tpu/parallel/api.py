@@ -19,7 +19,7 @@ and tree-concat kernels per shard on TPU):
 
 Cross-host: the dp axis is the data-parallel axis (DCN); sp rides ICI.
 Configurations the stripe decomposition cannot hold bit-identically
-(unaligned stripe heights, mixed AUTO modes, trellis, multi-pass search)
+(mixed AUTO modes, sharp YUV, multi-pass search)
 delegate to the unsharded engine rather than approximate.
 """
 
@@ -83,18 +83,31 @@ def _global_dp(mesh: Mesh, local_rows: np.ndarray, spec=None):
     return jax.make_array_from_process_local_data(sharding, local_rows)
 
 
-def _stripe_quantize(coeffs, iq, ib, nb_blocks, b_l: int):
+def _stripe_quantize(coeffs, iq, ib, nb_blocks, b_l: int, qq=None,
+                     trellis_lens=None):
     """Shard-local quantize + MCU interleave with cross-stripe DC chains.
 
     `coeffs`: per-component [B_l, nlb_c, 64]; `iq`/`ib`: [B_l, 2, 64].
+    With `qq`/`trellis_lens` set, AC coefficients go through the trellis
+    quantizer instead of the plain bias quantizer (methods 7/8; stripes
+    are block-independent, so the trellis shards trivially — the DC rule
+    is the plain quantizer either way, src/enc.cc:763-766).
     Returns (rl, dc_codes, group) over the local flat block axis.
     """
+    from ..ops import trellis as trellis_ops
+
     qbs, dc_cols = [], []
     n_mcu = coeffs[0].shape[1] // nb_blocks[0]
     for c, coef in enumerate(coeffs):
         g = 0 if c == 0 else 1
-        qb = engine._per_image_quantize(coef.reshape(-1, 64), iq[:, g],
-                                        ib[:, g], b_l)
+        if trellis_lens is not None:
+            cflat = coef.reshape(-1, 64)
+            grp = jnp.full(cflat.shape[0], g, jnp.int32)
+            qb = trellis_ops.trellis_quantize_matrices_inline(
+                cflat, iq, ib, qq, grp, trellis_lens, b_l)
+        else:
+            qb = engine._per_image_quantize(coef.reshape(-1, 64),
+                                            iq[:, g], ib[:, g], b_l)
         qbs.append(qb)
         dcq = qb[:, 0].reshape(b_l, -1)
         codes = jax.vmap(lambda d: _dc_codes_sharded(d, _AXIS))(dcq)
@@ -114,7 +127,8 @@ def _stripe_quantize(coeffs, iq, ib, nb_blocks, b_l: int):
 def _build_stages(mesh, yuv_mode: int, width: int, height: int,
                   nb_blocks, b: int, with_histo: bool, with_stats: bool,
                   per_image_tables: bool, bucket: int,
-                  rows_per_stripe: int, ragged: bool, sub_h_partial: int):
+                  rows_per_stripe: int, ragged: bool, sub_h_partial: int,
+                  use_trellis: bool = False):
     """The three jitted shard_map stage programs.
 
     Ragged geometry (image MCU rows not divisible by sp, and/or a partial
@@ -180,9 +194,13 @@ def _build_stages(mesh, yuv_mode: int, width: int, height: int,
         coeffs_shard, mesh, in_specs=(P("dp", "sp"), sspec, sspec),
         out_specs=coeffs_out))
 
-    def quant_shard(coeffs, iq, ib, vrows):
-        rl, dc_codes, group = _stripe_quantize(list(coeffs), iq, ib,
-                                               tuple(nb_blocks), b_l)
+    trellis_lens = (jnp.asarray(engine._trellis_cost_lens())
+                    if use_trellis else None)
+
+    def quant_shard(coeffs, iq, ib, qq, vrows):
+        rl, dc_codes, group = _stripe_quantize(
+            list(coeffs), iq, ib, tuple(nb_blocks), b_l,
+            qq=qq if use_trellis else None, trellis_lens=trellis_lens)
         per_l = dc_codes.shape[0] // b_l
         out = ({k: v.reshape(b_l, per_l, -1) for k, v in rl.items()},
                dc_codes.reshape(b_l, per_l),
@@ -202,7 +220,8 @@ def _build_stages(mesh, yuv_mode: int, width: int, height: int,
     qout = (st_spec, P("dp"), P("dp")) if with_stats else st_spec
     stage_quant = jax.jit(_shard_map(
         quant_shard, mesh,
-        in_specs=(cspec, P("dp"), P("dp"), sspec), out_specs=qout))
+        in_specs=(cspec, P("dp"), P("dp"), P("dp"), sspec),
+        out_specs=qout))
 
     def pack_shard(state, dc_luts, ac_luts, vrows):
         rl, dc_codes, group = state
@@ -296,7 +315,6 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
         yuv_mode if yuv_mode not in (C.YUV_SHARP, C.YUV_AUTO) else C.YUV_420,
         w, h)
     delegate = (yuv_mode in (C.YUV_SHARP, C.YUV_AUTO)
-                or flags["use_trellis"]
                 or param.passes > 1
                 or (b % dp != 0 and _multiproc()))
     if delegate:
@@ -357,7 +375,8 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
         with_stats=flags["optimize_size"],
         per_image_tables=per_image_tables, bucket=bucket,
         rows_per_stripe=rows_per_stripe, ragged=ragged,
-        sub_h_partial=sub_h_partial)
+        sub_h_partial=sub_h_partial,
+        use_trellis=flags["use_trellis"])
 
     sp_sharding = NamedSharding(mesh, P("sp"))
     vrows_g = jax.device_put(vrows_np, sp_sharding)
@@ -399,8 +418,10 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
                                     for qms in per_qms]).astype(np.int32))
     ib = _global_dp(mesh, np.stack([[q["bias"] for q in qms]
                                     for qms in per_qms]).astype(np.int32))
+    qq = _global_dp(mesh, np.stack([[q["quant"] for q in qms]
+                                    for qms in per_qms]).astype(np.int32))
 
-    qouts = stage_quant(tuple(coeffs), iq, ib, vrows_g)
+    qouts = stage_quant(tuple(coeffs), iq, ib, qq, vrows_g)
     if flags["optimize_size"]:
         state, fdc, fac = qouts
         fdc, _ = _fetch_dp(fdc)

@@ -100,3 +100,18 @@ def test_sharded_ragged_batch():
     from sjpeg_tpu.engine import encode_rgb
     for i in range(3):
         assert got[i] == encode_rgb(imgs[i], p)
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (100, 52)])
+def test_sharded_trellis_byte_identical(shape):
+    """Method 7 (trellis) on the (dp, sp) mesh: stripes are block
+    -independent so the trellis quantizer shards; bytes must equal the
+    serial engine, incl. ragged stripe geometry."""
+    h, w = shape
+    mesh = _mesh(2, 4)
+    imgs = _imgs(2, h, w, seed0=9)
+    p = EncoderParam(quality=79, yuv_mode=C.YUV_420, use_trellis=True)
+    got = encode_batch_sharded(imgs, p, mesh=mesh)
+    from sjpeg_tpu.engine import encode_rgb
+    for i in range(len(imgs)):
+        assert got[i] == encode_rgb(imgs[i], p), (shape, i)
