@@ -314,8 +314,11 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
     layout = pipeline.component_layout(
         yuv_mode if yuv_mode not in (C.YUV_SHARP, C.YUV_AUTO) else C.YUV_420,
         w, h)
+    from ..params import TARGET_NONE
+    search = param.passes > 1 and param.target_mode != TARGET_NONE
     delegate = (yuv_mode in (C.YUV_SHARP, C.YUV_AUTO)
-                or param.passes > 1
+                or (search and (param.search_hook is not None
+                                or flags["use_trellis"]))
                 or (b % dp != 0 and _multiproc()))
     if delegate:
         # param/shape-driven (process-consistent) fallback; under
@@ -336,6 +339,13 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
             [rgbs_np, np.broadcast_to(rgbs_np[:1],
                                       (pad_b,) + rgbs_np.shape[1:])])
         b = b_local = b + pad_b
+
+    if search:
+        # multi-pass dichotomy over the mesh (stripe-sharded passes,
+        # device tables, one eval fetch per pass)
+        return _encode_search_sharded(rgbs_np, param, mesh, yuv_mode,
+                                      w, h, bits_per_pixel_budget,
+                                      b_real_local)
 
     nb_blocks = tuple(layout.nb_blocks)
     n_groups = 2 if layout.nb_comps > 1 else 1
@@ -377,6 +387,15 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
         rows_per_stripe=rows_per_stripe, ragged=ragged,
         sub_h_partial=sub_h_partial,
         use_trellis=flags["use_trellis"])
+
+    def default_luts():
+        dc0, ac0 = engine._host_luts(defaults)
+        dcl = _global_dp(mesh, np.broadcast_to(
+            dc0, (b_local, 2, 16)).copy())
+        acl = _global_dp(mesh, np.broadcast_to(
+            ac0, (b_local, 2, 256)).copy())
+        return dcl, acl, _global_dp(mesh, np.zeros((b_local, 4),
+                                                   np.int32))
 
     sp_sharding = NamedSharding(mesh, P("sp"))
     vrows_g = jax.device_put(vrows_np, sp_sharding)
@@ -474,5 +493,311 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
             continue
         scan = engine._finalize_scan_bytes(img_words[i], int(img_totals[i]))
         out.append(engine._assemble_jpeg(layout, param, per_qms[i],
+                                         per_tables[i], scan))
+    return out
+
+
+def _make_qerr_stage(mesh, yuv_mode, width, nb_blocks, b, rows_per_stripe,
+                     ragged):
+    """Per-(image, stripe) exact squared quantization error for sharded
+    PSNR-target searches (SURVEY §5.8: per-stripe distortion scalars
+    combined across sp; the uint64 fold happens on host from the [S]
+    (hi, lo) pairs so no carry is lost)."""
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    b_l = b // dp
+    mcu_h = 16 if yuv_mode == C.YUV_420 else 8
+    mb_w = -(-width // mcu_h)
+
+    def comp_valid(v, c):
+        per_row = nb_blocks[c] * mb_w
+        rowi = jnp.arange(rows_per_stripe * per_row,
+                          dtype=jnp.int32) // per_row
+        return jnp.tile(rowi < v, b_l)
+
+    def qerr_shard(coeffs, iq, ib, qq, vrows):
+        per_rows = []
+        for c, coef in enumerate(coeffs):
+            g = 0 if c == 0 else 1
+            cb = jnp.abs(coef.reshape(b_l, -1, 64).astype(jnp.int32))
+            t = (cb + ib[:, None, g, :]).astype(jnp.uint32)
+            q = ((t * iq[:, None, g, :].astype(jnp.uint32))
+                 >> C.FP_BITS).astype(jnp.int32) >> C.AC_BITS
+            deq = qq[:, None, g, :] * q
+            v0 = cb >> C.AC_BITS
+            err = jnp.sum((v0 - deq) * (v0 - deq), axis=2)  # [B_l, n]
+            if ragged:
+                err = err * comp_valid(vrows[0], c).reshape(
+                    b_l, -1).astype(jnp.int32)
+            per_rows.append(err)
+        hi, lo = quantize.sum_u64_rows(
+            jnp.concatenate(per_rows, axis=1))
+        return jnp.stack([hi, lo], axis=1).reshape(b_l, 1, 2)
+
+    cspec = tuple(P("dp", "sp", None) for _ in range(len(nb_blocks)))
+    return jax.jit(_shard_map(
+        qerr_shard, mesh,
+        in_specs=(cspec, P("dp"), P("dp"), P("dp"), P("sp")),
+        out_specs=P("dp", "sp", None)))
+
+
+def _encode_search_sharded(rgbs_np, param, mesh, yuv_mode, w, h,
+                           bits_per_pixel_budget, b_real_local):
+    """Multi-pass target-size / target-PSNR dichotomy over the (dp, sp)
+    mesh (SURVEY §5.8 third deliverable): per pass, re-quantization +
+    symbol statistics run per stripe (frequencies psum over sp), the
+    optimal Huffman tables build ON DEVICE (dp-partitioned
+    ops.huffman_device), the stripes pack and stitch, and one fetch
+    returns (size bits, stuffing, nb_syms, overflow) per image — exactly
+    the engine's single-fetch pass structure, sharded.  PSNR passes
+    psum-free: per-stripe (hi, lo) error pairs fold exactly on host.
+    Bytes identical to engine._encode_batch_search / the reference
+    LoopScan (src/dichotomy.cc:106-192)."""
+    from ..dichotomy import get_psnr, header_size_bits, \
+        header_size_bits_nbsyms
+    from ..ops import huffman_device as hd
+    from ..params import SearchHook, TARGET_SIZE
+    from ..tools import estimate_quality
+
+    flags = method_flags(param.method)
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    b_local = rgbs_np.shape[0]
+    n_proc = jax.process_count() if _multiproc() else 1
+    b = b_local * n_proc
+    layout = pipeline.component_layout(yuv_mode, w, h)
+    nb_blocks = tuple(layout.nb_blocks)
+    n_groups = 2 if layout.nb_comps > 1 else 1
+    min_qmats = param.resolved_min_quant_matrices()
+    defaults = k3_default_tables()
+    for_size = param.target_mode == TARGET_SIZE
+    n_blocks_img = layout.mb_w * layout.mb_h * sum(nb_blocks)
+
+    initial_q = min(max(estimate_quality(
+        param.resolved_quant_matrices()[0]), 0.0), 100.0)
+    hooks = []
+    for _ in range(b_local):
+        hk = SearchHook()
+        hk.setup(param, initial_q)
+        hooks.append(hk)
+
+    # geometry + stages (same ragged handling as the single-shot path)
+    mcu_h = 16 if yuv_mode == C.YUV_420 else 8
+    rows_per_stripe = -(-layout.mb_h // sp)
+    h_pad = rows_per_stripe * mcu_h * sp
+    ragged = h_pad != h
+    sub_h_partial = h - (layout.mb_h - 1) * mcu_h if h % mcu_h else 0
+    if h_pad != rgbs_np.shape[1]:
+        rgbs_np = np.pad(rgbs_np, ((0, 0), (0, h_pad - h), (0, 0),
+                                   (0, 0)), mode="edge")
+    srows = np.arange(sp, dtype=np.int32) * rows_per_stripe
+    vrows_np = np.clip(layout.mb_h - srows, 0, rows_per_stripe)
+    crow_np = ((layout.mb_h - 1) - srows if sub_h_partial
+               else np.full(sp, -1, np.int32)).astype(np.int32)
+    per_img_words = (layout.mb_w * rows_per_stripe * sp * sum(nb_blocks)
+                     // sp * pack.WORDS_PER_BLOCK)
+    tv = param.target_value if for_size else 0
+    bucket = int(min(per_img_words,
+                     max(1024, w * h * bits_per_pixel_budget / 32 / sp,
+                         (tv * 2 * 8) / 32 / sp + 4096)))
+
+    stage_coeffs, stage_quant, stage_pack = _build_stages(
+        mesh, yuv_mode, w, h, nb_blocks, b,
+        with_histo=flags["use_adaptive_quant"],
+        with_stats=flags["optimize_size"],
+        per_image_tables=True, bucket=bucket,
+        rows_per_stripe=rows_per_stripe, ragged=ragged,
+        sub_h_partial=sub_h_partial)
+    stitch = _make_stitch(mesh)
+    dp_sh = NamedSharding(mesh, P("dp"))
+
+    @functools.partial(jax.jit, out_shardings=(dp_sh, dp_sh, dp_sh))
+    def luts_sharded(fdc, fac):
+        return hd.luts_from_freqs(fdc, fac, n_groups)
+
+    @jax.jit
+    def eval_sharded(stripe_totals, img_words, img_totals, nbs):
+        stuffs = engine._stage_count_stuffing_batch(img_words, img_totals)
+        over = jnp.max(stripe_totals, axis=1)
+        return jnp.stack([img_totals.astype(jnp.int32), stuffs,
+                          over.astype(jnp.int32)], axis=1), nbs
+
+    def default_luts():
+        dc0, ac0 = engine._host_luts(defaults)
+        dcl = _global_dp(mesh, np.broadcast_to(
+            dc0, (b_local, 2, 16)).copy())
+        acl = _global_dp(mesh, np.broadcast_to(
+            ac0, (b_local, 2, 256)).copy())
+        return dcl, acl, _global_dp(mesh, np.zeros((b_local, 4),
+                                                   np.int32))
+
+    sp_sharding = NamedSharding(mesh, P("sp"))
+    vrows_g = jax.device_put(vrows_np, sp_sharding)
+    crow_g = jax.device_put(crow_np, sp_sharding)
+    batch_g = _global_dp(mesh, rgbs_np, P("dp", "sp"))
+    outs = stage_coeffs(batch_g, vrows_g, crow_g)
+    if flags["use_adaptive_quant"]:
+        coeffs = outs[:layout.nb_comps]
+        hl, _ = _fetch_dp(outs[-2])
+        hc, _ = _fetch_dp(outs[-1])
+        hl = hl.astype(np.int64).reshape(b_local, 64, -1)
+        hc = hc.astype(np.int64).reshape(b_local, 64, -1)
+    else:
+        coeffs = outs if isinstance(outs, tuple) else (outs,)
+        hl = hc = None
+    qerr_stage = (None if for_size else _make_qerr_stage(
+        mesh, yuv_mode, w, nb_blocks, b, rows_per_stripe, ragged))
+
+    def make_qms(i):
+        qmats = np.stack([hooks[i].next_matrices()[c] for c in range(2)])
+        qms = [spec.finalize_quant_matrix(qmats[g], min_qmats[g],
+                                          param.quantization_bias)
+               for g in range(2)]
+        if flags["use_adaptive_quant"]:
+            for g in range(n_groups - 1, -1, -1):
+                qd = (param.qdelta_max_luma if g == 0
+                      else param.qdelta_max_chroma)
+                tuned = analyse_histo(hl[i] if g == 0 else hc[i],
+                                      qms[g]["quant"], min_qmats[g], qd)
+                qms[g] = spec.finalize_quant_matrix(
+                    tuned, min_qmats[g], param.quantization_bias)
+        return qms
+
+    def uploads(per_qms):
+        iq = _global_dp(mesh, np.stack(
+            [[q["iquant"] for q in qms] for qms in per_qms]
+        ).astype(np.int32))
+        ib = _global_dp(mesh, np.stack(
+            [[q["bias"] for q in qms] for qms in per_qms]
+        ).astype(np.int32))
+        qq = _global_dp(mesh, np.stack(
+            [[q["quant"] for q in qms] for qms in per_qms]
+        ).astype(np.int32))
+        return iq, ib, qq
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    best = [0.0] * b_local
+    best_q = [0.0] * b_local
+    best_result = [0.0] * b_local
+    opt_qms = [None] * b_local
+    done = [False] * b_local
+    overflow = [False] * b_local
+    passes = min(max(param.passes, 1), 20)
+
+    for p in range(passes):
+        with ThreadPoolExecutor(max_workers=min(8, b_local)) as pool:
+            per_qms = list(pool.map(make_qms, range(b_local)))
+        iq, ib, qq = uploads(per_qms)
+
+        if for_size:
+            if flags["optimize_size"]:
+                state, fdc, fac = stage_quant(tuple(coeffs), iq, ib, qq,
+                                              vrows_g)
+                dcl, acl, nbs_dev = luts_sharded(fdc, fac)
+            else:
+                state = stage_quant(tuple(coeffs), iq, ib, qq, vrows_g)
+                dcl, acl, nbs_dev = default_luts()
+            words, totals = stage_pack(state, dcl, acl, vrows_g)
+            img_words_g, img_totals_g = stitch(words, totals)
+            ev, nbs_d = eval_sharded(totals.reshape(totals.shape[0], -1),
+                                     img_words_g, img_totals_g, nbs_dev)
+            ev_np, _ = _fetch_dp(ev)
+            nbs_np, _ = _fetch_dp(nbs_d)
+            results = []
+            for i in range(b_local):
+                if int(ev_np[i, 2]) > bucket * 32:
+                    overflow[i] = True
+                    results.append(None)
+                    continue
+                if flags["optimize_size"]:
+                    hdr = header_size_bits_nbsyms(
+                        param, layout.nb_comps, nbs_np[i])
+                else:
+                    hdr = header_size_bits(param, layout.nb_comps,
+                                           defaults)
+                bits = hdr + int(ev_np[i, 0]) + 8 * int(ev_np[i, 1])
+                results.append(float(np.float32(bits / 8.0)))
+        else:
+            hilo = qerr_stage(tuple(coeffs), iq, ib, qq, vrows_g)
+            hilo_np, _ = _fetch_dp(hilo)        # [B_local, sp, 2]
+            results = []
+            for i in range(b_local):
+                err = 0
+                for s in range(hilo_np.shape[1]):
+                    err += (int(hilo_np[i, s, 0]) << 32) | int(
+                        hilo_np[i, s, 1])
+                results.append(get_psnr(err, 64 * n_blocks_img))
+
+        all_done = True
+        for i in range(b_local):
+            if done[i] or overflow[i]:
+                continue
+            hooks[i].pass_count = p
+            result = results[i]
+            is_best = p == 0 or abs(result - hooks[i].target) < best[i]
+            if is_best:
+                opt_qms[i] = [per_qms[i][0]["quant"].copy(),
+                              per_qms[i][1]["quant"].copy()]
+                best[i] = abs(result - hooks[i].target)
+                best_q[i] = hooks[i].q
+                best_result[i] = result
+            if hooks[i].update(result):
+                done[i] = True
+            else:
+                all_done = False
+        if all_done:
+            break
+
+    # final pass at each image's best matrices; host tables for the DHT
+    final_qms = []
+    for i in range(b_local):
+        if overflow[i]:
+            final_qms.append(make_qms(i))
+            continue
+        qms = [spec.finalize_quant_matrix(opt_qms[i][g], min_qmats[g],
+                                          param.quantization_bias)
+               for g in range(2)]
+        final_qms.append(qms)
+        hooks[i].q = best_q[i]
+        hooks[i].value = best_result[i]
+    iq, ib, qq = uploads(final_qms)
+    if flags["optimize_size"]:
+        state, fdc, fac = stage_quant(tuple(coeffs), iq, ib, qq, vrows_g)
+        fdc_np, _ = _fetch_dp(fdc)
+        fac_np, _ = _fetch_dp(fac)
+        per_tables = []
+        for i in range(b_local):
+            t = optimal_tables_from_freqs(fdc_np[i].astype(np.int64),
+                                          fac_np[i].astype(np.int64),
+                                          n_groups)
+            if n_groups == 1:
+                t[1], t[3] = defaults[1], defaults[3]
+            per_tables.append(t)
+        dc_np = np.zeros((b_local, 2, 16), np.uint32)
+        ac_np = np.zeros((b_local, 2, 256), np.uint32)
+        for i, t in enumerate(per_tables):
+            dc_np[i], ac_np[i] = engine._host_luts(t)
+        dc_luts = _global_dp(mesh, dc_np)
+        ac_luts = _global_dp(mesh, ac_np)
+    else:
+        state = stage_quant(tuple(coeffs), iq, ib, qq, vrows_g)
+        per_tables = [defaults] * b_local
+        dc_luts, ac_luts, _ = default_luts()
+    words, totals = stage_pack(state, dc_luts, ac_luts, vrows_g)
+    shard_totals, _ = _fetch_dp(totals)
+    over_f = (shard_totals.reshape(b_local, -1) > bucket * 32).any(axis=1)
+    img_words_g, img_totals_g = stitch(words, totals)
+    img_words, _ = _fetch_dp(img_words_g)
+    img_totals, _ = _fetch_dp(img_totals_g)
+
+    out = []
+    for i in range(min(b_local, b_real_local)):
+        if overflow[i] or over_f[i]:
+            from .. import host_encoder
+            p2 = dataclasses.replace(param, yuv_mode=yuv_mode)
+            out.append(host_encoder.encode_rgb(rgbs_np[i, :h], p2))
+            continue
+        scan = engine._finalize_scan_bytes(img_words[i],
+                                           int(img_totals[i]))
+        out.append(engine._assemble_jpeg(layout, param, final_qms[i],
                                          per_tables[i], scan))
     return out

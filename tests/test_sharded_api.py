@@ -115,3 +115,23 @@ def test_sharded_trellis_byte_identical(shape):
     from sjpeg_tpu.engine import encode_rgb
     for i in range(len(imgs)):
         assert got[i] == encode_rgb(imgs[i], p), (shape, i)
+
+
+@pytest.mark.parametrize("target,m4", [("size", True), ("psnr", True),
+                                       ("size", False)])
+def test_sharded_search_byte_identical(target, m4):
+    """Multi-pass target-size / target-PSNR dichotomies run sharded
+    (stripe-sharded passes, device tables, one eval fetch per pass) and
+    must match the serial per-image search byte-for-byte."""
+    mesh = _mesh(2, 4)
+    imgs = _imgs(2, 64, 48, seed0=21)
+    p = EncoderParam(quality=75, yuv_mode=C.YUV_420, huffman_compress=m4,
+                     adaptive_quantization=m4)
+    if target == "size":
+        p.set_target_size(900, passes=5)
+    else:
+        p.set_target_psnr(33, passes=5)
+    got = encode_batch_sharded(imgs, p, mesh=mesh)
+    from sjpeg_tpu.engine import encode_rgb
+    for i in range(len(imgs)):
+        assert got[i] == encode_rgb(imgs[i], p), (target, m4, i)
