@@ -85,6 +85,90 @@ def get_psnr(err: int, size: int) -> float:
     return 99.0
 
 
+def build_q_tree(param: EncoderParam, initial_q: float, passes: int):
+    """Enumerate every quality the default bisection hook can visit.
+
+    The hook's pass-p quality depends only on the sequence of
+    (value > target) decisions taken so far, so the candidate qualities
+    form a binary tree: node index 2^p - 1 + path, where path accumulates
+    decision bits (1 = value > target, i.e. qmax <- q).  Returns a
+    [2^passes - 1] float64 array of node qualities, computed with the
+    exact SearchHook arithmetic (src/dichotomy.cc:34-74) so a
+    device-resident loop can pre-tabulate every pass's matrices.
+    """
+    qmin0 = max(param.qmin, 0.0)
+    qmax0 = (100.0 if param.qmax > 100 else
+             param.qmin if param.qmax < param.qmin else param.qmax)
+    q0 = min(max(initial_q, qmin0), qmax0)
+    nodes = [(qmin0, qmax0, q0)]
+    for p in range(1, passes):
+        base = (1 << (p - 1)) - 1
+        for path in range(1 << p):
+            qmin, qmax, q = nodes[base + (path >> 1)]
+            if path & 1:
+                qmax = q
+            else:
+                qmin = q
+            nodes.append((qmin, qmax, (qmin + qmax) / 2.0))
+    return np.asarray([n[2] for n in nodes], dtype=np.float64)
+
+
+def psnr_err_threshold(target: float, size: int) -> int:
+    """Largest integer err with get_psnr(err, size) > target (so the
+    device loop's `value > target` test becomes an exact integer
+    compare); 0 when even err=1 misses the target (err=0 maps to 99.0,
+    handled as hi=lo=0 on device)."""
+    if get_psnr(1, size) <= target:
+        return 0
+    lo, hi = 1, 1 << 62
+    while lo < hi:                      # find last err with psnr > target
+        mid = (lo + hi + 1) >> 1
+        if get_psnr(mid, size) > target:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def replay_search_trace(values, decisions, param: EncoderParam,
+                        hook: SearchHook):
+    """Re-run the hook in float64 against a device loop's per-pass trace.
+
+    `values`: per executed-tree-path pass the evaluated result (bytes or
+    PSNR); `decisions`: the integer decision bit the device actually
+    took at each pass.  Returns (best_node, ok): the winning tree node
+    index, with ok=False when the device's integer decision ever
+    disagrees with the exact float hook (possible only past float32's
+    27-bit integer range; the caller falls back to the host search).
+    `hook` must be freshly set up; its q/value/pass_count are left at
+    the reference's post-search state.
+    """
+    passes = len(values)
+    best = 0.0
+    best_q = hook.q
+    best_result = 0.0
+    best_node = 0
+    path = 0
+    for p in range(passes):
+        node = (1 << p) - 1 + path
+        value = values[p]
+        hook.pass_count = p
+        if p == 0 or abs(value - hook.target) < best:
+            best = abs(value - hook.target)
+            best_q = hook.q
+            best_result = value
+            best_node = node
+        d_host = 1 if value > hook.target else 0
+        if hook.update(value):
+            break
+        if d_host != int(decisions[p]):
+            return best_node, False
+        path = path * 2 + d_host
+    hook.q = best_q
+    hook.value = best_result
+    return best_node, True
+
+
 def loop_scan(coeffs, histos, layout, param: EncoderParam):
     """Run the search over cached coefficients.
 

@@ -35,8 +35,76 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _BIG = np.int32(0x7FFFFFFF)
+
+
+def _merge_kernel(freqw_ref, active_ref, comp_ref, cs_ref, nleft_ref,
+                  out_ref, *, steps: int):
+    """The Huffman merge loop in VMEM: identical per-step ops to the
+    lax.scan path below, but the ~size serial steps run inside one
+    kernel instead of ~size XLA ops each paying dispatch overhead (the
+    scan costs ~20 ms for a 16-image batch's AC tables; this runs in
+    well under a millisecond)."""
+    G, Wp = freqw_ref.shape
+    slots = jax.lax.broadcasted_iota(jnp.int32, (G, Wp), 1)
+
+    def body(_, st):
+        freqw, active, comp, cs, nleft = st
+        do = nleft > 1                                     # [G, Wp]
+        fm = jnp.where(active > 0, freqw, _BIG)
+        f1 = jnp.min(fm, axis=1, keepdims=True)
+        i2 = jnp.min(jnp.where((active > 0) & (fm == f1), slots, Wp),
+                     axis=1, keepdims=True)
+        not2 = slots != i2
+        fm2 = jnp.where((active > 0) & not2, freqw, _BIG)
+        f2 = jnp.min(fm2, axis=1, keepdims=True)
+        i1 = jnp.min(jnp.where((active > 0) & not2 & (fm2 == f2),
+                               slots, Wp), axis=1, keepdims=True)
+        freqw = jnp.where(do & (slots == i1), freqw + f1, freqw)
+        active = jnp.where(do & (slots == i2), 0, active)
+        m = do & ((comp == i1) | (comp == i2))
+        cs = cs + m.astype(jnp.int32)
+        comp = jnp.where(m, i1, comp)
+        nleft = nleft - do.astype(jnp.int32)
+        return freqw, active, comp, cs, nleft
+
+    st = (freqw_ref[:], active_ref[:], comp_ref[:], cs_ref[:],
+          nleft_ref[:])
+    st = jax.lax.fori_loop(0, steps, body, st)
+    out_ref[:] = st[3]
+
+
+def _merge_codesizes_pallas(freqw, active, comp, cs, nleft, steps: int):
+    """[G, W] merge state -> final code sizes, via the in-VMEM kernel.
+    Pads W to a lane multiple and G to a sublane multiple; padded slots
+    are inactive with unique comp ids, padded rows get nleft=0."""
+    G, W = freqw.shape
+    Wp = -(-W // 128) * 128
+    Gp = -(-G // 8) * 8
+    pw, pg = Wp - W, Gp - G
+
+    def pad(x, fill):
+        return jnp.pad(x, ((0, pg), (0, pw)), constant_values=fill)
+
+    slots_w = jnp.arange(Wp, dtype=jnp.int32)[None, :]
+    freqw_p = pad(freqw, _BIG)
+    active_p = pad(active.astype(jnp.int32), 0)
+    comp_p = jnp.where(jnp.arange(Wp)[None, :] < W,
+                       pad(comp, 0), slots_w)
+    comp_p = jnp.broadcast_to(comp_p, (Gp, Wp))
+    cs_p = pad(cs, 0)
+    nleft_p = jnp.pad(nleft, (0, pg))[:, None] * jnp.ones(
+        (1, Wp), jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_merge_kernel, steps=steps),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, Wp), jnp.int32),
+    )(freqw_p, active_p, comp_p, cs_p, nleft_p)
+    return out[:G, :W]
 
 
 @functools.partial(jax.jit, static_argnames=("size", "lut_size",
@@ -103,9 +171,13 @@ def optimal_code_luts(freq, size: int, lut_size: int = 0,
         return (freqw, active, comp, cs, nleft), None
 
     nleft0 = nb_syms + 1 - have.astype(jnp.int32)
-    (_, _, _, cs, _), _ = jax.lax.scan(
-        step, (freqw, active0_m, comp_init, cs_init, nleft0), None,
-        length=max(size - 1, 1))
+    if jax.default_backend() != "cpu":
+        cs = _merge_codesizes_pallas(freqw, active0_m, comp_init, cs_init,
+                                     nleft0, max(size - 1, 1))
+    else:
+        (_, _, _, cs, _), _ = jax.lax.scan(
+            step, (freqw, active0_m, comp_init, cs_init, nleft0), None,
+            length=max(size - 1, 1))
 
     cs = jnp.where(active0, jnp.minimum(cs, 32), 0)        # MAX_BITS clamp
 
