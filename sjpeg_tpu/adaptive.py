@@ -89,13 +89,27 @@ def _dq_tables():
 
 def analyse_histo_nodes(histos: np.ndarray, quants: np.ndarray,
                         min_quant: np.ndarray, qdelta_max: int,
-                        chunk: int = 8, workers: int = 8) -> np.ndarray:
-    """Thread-parallel wrapper over `_analyse_histo_nodes_chunk`: the K
-    candidate matrices split into `chunk`-sized independent slices (the
-    fit never mixes nodes), each a large-array NumPy pipeline that
-    releases the GIL."""
+                        chunk: int = 8, workers: int = 4) -> np.ndarray:
+    """Batched per-(image, node) adaptive tuning: [B, 64, bins] histos x
+    [K, 64] candidate matrices -> [B, K, 64] tuned matrices, each
+    bit-identical to analyse_histo per pair.
+
+    Two structural reductions before the heavy fit:
+    - duplicate candidate matrices (deep search trees converge and emit
+      identical uint8 matrices) collapse through np.unique;
+    - the fit is elementwise along images, so the B axis splits across
+      threads (the torch/numpy pipelines release the GIL in their
+      chunky ops)."""
     K = quants.shape[0]
+    if K > 2:
+        uq, inv = np.unique(quants, axis=0, return_inverse=True)
+        if uq.shape[0] < K:
+            r = analyse_histo_nodes(histos, uq, min_quant, qdelta_max,
+                                    chunk, workers)
+            return np.ascontiguousarray(r[:, inv])
     if _torch() is not None:
+        # torch's intra-op pool already uses the cores; outer B-splits
+        # oversubscribe a small host and measure 3-10x SLOWER
         return _analyse_histo_nodes_chunk_torch(histos, quants,
                                                 min_quant, qdelta_max)
     if K <= chunk or workers <= 1:

@@ -113,6 +113,126 @@ def build_q_tree(param: EncoderParam, initial_q: float, passes: int):
     return np.asarray([n[2] for n in nodes], dtype=np.float64)
 
 
+def build_q_conv_table(param: EncoderParam, initial_q: float,
+                       passes: int) -> np.ndarray:
+    """[2^passes - 1, 2] int32: does the default hook's bracket update
+    converge (|new_q - q| < 0.15, src/dichotomy.cc:66-69) after taking
+    decision d at each tree node?  Pure f64 replica of the SearchHook
+    arithmetic, so a device loop can stop exactly when the host hook
+    would."""
+    qmin0 = max(param.qmin, 0.0)
+    qmax0 = (100.0 if param.qmax > 100 else
+             param.qmin if param.qmax < param.qmin else param.qmax)
+    q0 = min(max(initial_q, qmin0), qmax0)
+    nodes = [(qmin0, qmax0, q0)]
+    for p in range(1, passes):
+        base = (1 << (p - 1)) - 1
+        for path in range(1 << p):
+            qmin, qmax, q = nodes[base + (path >> 1)]
+            if path & 1:
+                qmax = q
+            else:
+                qmin = q
+            nodes.append((qmin, qmax, (qmin + qmax) / 2.0))
+    conv = np.zeros((len(nodes), 2), np.int32)
+    for k, (qmin, qmax, q) in enumerate(nodes):
+        for d in range(2):
+            nmin, nmax = (qmin, q) if d else (q, qmax)
+            conv[k, d] = 1 if abs((nmin + nmax) / 2.0 - q) < 0.15 else 0
+    return conv
+
+
+def size_tolerance_range(param: EncoderParam):
+    """Largest contiguous int range [lo, hi] of total BIT counts whose
+    float32 byte size satisfies the hook's tolerance test
+    |float32(bits/8) - target| < tolerance/100 * target (the exact
+    update() early-return, src/dichotomy.cc:55-58).  Returns (1, 0)
+    when no bit count satisfies it.  float32(bits/8) is monotone in
+    bits, so the satisfying set is contiguous and binary search against
+    the exact predicate finds its edges."""
+    target = float(param.target_value)
+    tt = (param.tolerance / 100.0) * target
+
+    def hit(bits: int) -> bool:
+        return abs(float(np.float32(bits / 8.0)) - target) < tt
+
+    center = int(max(round(target * 8.0), 0))
+    if not hit(center):
+        for c in (center - 8, center + 8, center - 1, center + 1):
+            if c >= 0 and hit(c):
+                center = c
+                break
+        else:
+            return 1, 0
+    lo, x = 0, center
+    while lo < x:                      # min satisfying bits
+        mid = (lo + x) // 2
+        if hit(mid):
+            x = mid
+        else:
+            lo = mid + 1
+    lo_bits = x
+    x, hi = center, 2 ** 31 - 2
+    while x < hi:                      # max satisfying bits
+        mid = (x + hi + 1) // 2
+        if hit(mid):
+            x = mid
+        else:
+            hi = mid - 1
+    return lo_bits, x
+
+
+def psnr_tolerance_range(param: EncoderParam, size: int):
+    """(lo, hi, zero_hit): contiguous uint64 range of POSITIVE
+    quantization errors whose PSNR satisfies |psnr - target| <
+    tolerance/100 * target ((1, 0, zero_hit) when empty), plus whether
+    err=0 (psnr 99.0, outside the monotone branch) satisfies it.
+    get_psnr is monotone decreasing in err >= 1."""
+    target = float(param.target_value)
+    tt = (param.tolerance / 100.0) * target
+
+    def hit(err: int) -> bool:
+        return abs(get_psnr(err, size) - target) < tt
+
+    zero_hit = hit(0)
+    lo_e, hi_e = 1, 1 << 62
+    if not hit(lo_e) and not hit(hi_e):
+        # bracket some satisfying err by bisection on the monotone psnr
+        lo, hi = lo_e, hi_e
+        found = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            p = get_psnr(mid, size)
+            if hit(mid):
+                found = mid
+                break
+            if p > target:
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if found is None:
+            return 1, 0, zero_hit
+        center = found
+    else:
+        center = lo_e if hit(lo_e) else hi_e
+    lo, x = 1, center
+    while lo < x:
+        mid = (lo + x) // 2
+        if hit(mid):
+            x = mid
+        else:
+            lo = mid + 1
+    lo_err = x
+    x, hi = center, 1 << 62
+    while x < hi:
+        mid = (x + hi + 1) // 2
+        if hit(mid):
+            x = mid
+        else:
+            hi = mid - 1
+    return lo_err, x, zero_hit
+
+
 def psnr_err_threshold(target: float, size: int) -> int:
     """Largest integer err with get_psnr(err, size) > target (so the
     device loop's `value > target` test becomes an exact integer

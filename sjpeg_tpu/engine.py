@@ -18,6 +18,8 @@ coefficient cache, src/enc.cc:1605).
 import dataclasses
 import functools
 import os
+import sys
+import time
 from typing import Optional
 
 import jax
@@ -859,6 +861,25 @@ def _relay_backend() -> bool:
     return "axon" in os.environ.get("JAX_PLATFORMS", "")
 
 
+# Env-gated wall-clock stage tracing (SJPEG_TRACE_STAGES=1): one stderr
+# line per pipeline stage, for locating host/device/transfer stalls in
+# the orchestration paths without a profiler attach.
+_TRACE_STAGES = bool(os.environ.get("SJPEG_TRACE_STAGES"))
+
+
+class _StageTrace:
+    def __init__(self, tag):
+        self.tag = tag
+        self.t0 = time.perf_counter()
+
+    def mark(self, label):
+        if _TRACE_STAGES:
+            t1 = time.perf_counter()
+            print(f"[{self.tag}] {label}: {(t1 - self.t0) * 1e3:.1f} ms",
+                  file=sys.stderr)
+            self.t0 = t1
+
+
 def _batch_blocks(src, yuv_mode: int, width: int, height: int,
                   src_kind: str):
     if src_kind == "planes":
@@ -1292,14 +1313,20 @@ def _stage_count_stuffing(words, total):
 
 @jax.jit
 def _stage_count_stuffing_batch(words, totals):
-    """Per-image 0xFF complete-byte counts: [B, W] words + [B] bits -> [B]."""
+    """Per-image 0xFF complete-byte counts: [B, W] words + [B] bits -> [B].
+
+    Four shifted compares over the [B, W] word array (one per byte slot)
+    instead of materializing a 4x-repeated byte array."""
     W = words.shape[1]
-    idx = jnp.arange(W * 4, dtype=jnp.int32)[None, :]
-    shifts = (24 - 8 * (idx & 3)).astype(jnp.uint32)
-    byte = (jnp.repeat(words, 4, axis=1) >> shifts) & 0xFF
+    word_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
     n_bytes = (totals.astype(jnp.int32) // 8)[:, None]
-    return jnp.sum(((byte == 0xFF) & (idx < n_bytes)).astype(jnp.int32),
-                   axis=1)
+    cnt = jnp.zeros(words.shape[0], jnp.int32)
+    for k in range(4):
+        byte = (words >> jnp.uint32(24 - 8 * k)) & 0xFF
+        cnt = cnt + jnp.sum(
+            ((byte == 0xFF) & (word_idx * 4 + k < n_bytes)).astype(
+                jnp.int32), axis=1)
+    return cnt
 
 
 @jax.jit
@@ -1544,7 +1571,8 @@ def _fused_pack_from_samples(sinter, dc_codes, group, iq3, ib3, dcl3,
     "passes", "nb_blocks", "n_images", "n_groups", "bucket",
     "optimize_size", "hdr_fixed_bits", "q_bias", "per_image_mats",
     "chroma_wrap"))
-def _stage_search_loop_size(prep, quants_nodes, thr, dc_luts_def,
+def _stage_search_loop_size(prep, quants_nodes, thr, conv_lo, conv_hi,
+                            conv_tbl, dc_luts_def,
                             ac_luts_def, passes: int, nb_blocks,
                             n_images: int, n_groups: int, bucket: int,
                             optimize_size: bool, hdr_fixed_bits: int,
@@ -1562,6 +1590,23 @@ def _stage_search_loop_size(prep, quants_nodes, thr, dc_luts_def,
     quants_nodes: [B, K, 2, 64] (per_image_mats, adaptive) or [K, 2, 64]
     uint8 with K = 2^passes - 1 tree nodes.  Overflowing passes record
     INT32_MAX; the caller falls back per image.
+
+    Besides the trace, every pass's packed stream (words, scan-bit
+    totals) and — when optimize_size — its DHT description are saved
+    device-side, so the caller reuses the winning pass's output directly
+    instead of re-encoding at the best matrices (the same
+    tables-are-a-pure-function-of-the-matrices reuse argument as the
+    single-image search's `state` path).
+
+    Early exit: `conv_lo`/`conv_hi` are the exact integer bit-count
+    range of the hook's tolerance test and `conv_tbl` [K, 2] the exact
+    per-(node, decision) bracket-convergence table (both precomputed in
+    f64 on host, dichotomy.size_tolerance_range / build_q_conv_table);
+    once every image's hook has converged, the remaining passes execute
+    as no-ops (their trace rows stay 0 and are never consumed by the
+    host replay, which stops at its own convergence).  Returns
+    (trace [passes, B], words_all [passes, B, bucket],
+     totals_all [passes, B], desc_all [passes, B, 604] or None).
     """
     from .ops import huffman_device as hd
     B = n_images
@@ -1569,7 +1614,7 @@ def _stage_search_loop_size(prep, quants_nodes, thr, dc_luts_def,
     fused = jax.default_backend() != "cpu" and "sinter" in prep
 
     def body(p, carry):
-        path, trace = carry
+        path, active, trace, words_all, totals_all, desc_all = carry
         node = (1 << p) - 1 + path                            # [B]
         if per_image_mats:
             qn = jnp.take_along_axis(
@@ -1578,12 +1623,14 @@ def _stage_search_loop_size(prep, quants_nodes, thr, dc_luts_def,
             qn = jnp.broadcast_to(quants_nodes[node], (B, 2, 64))
         iq3, ib3 = _derive_quant_arrays(qn, q_bias)
         nb_sum = jnp.zeros((B,), jnp.int32)
+        desc_flat = None
         if fused:
             if optimize_size:
                 freqs = _search_component_freqs(coeffs, iq3, ib3, B)
-                dcl, acl, nbs = hd.luts_from_freqs(
+                dcl, acl, nbs, desc = hd.luts_and_desc_from_freqs(
                     jnp.reshape(freqs[0], (B, 2, -1)),
                     jnp.reshape(freqs[1], (B, 2, -1)), n_groups)
+                desc_flat = hd.desc_to_flat(nbs, desc)
                 nb_sum = (nbs[:, 0] + nbs[:, 2] if n_groups == 1
                           else jnp.sum(nbs, axis=1))
             else:
@@ -1600,9 +1647,10 @@ def _stage_search_loop_size(prep, quants_nodes, thr, dc_luts_def,
             vlc_state, freqs = _stage_batch_quantize(
                 coeffs, iq3, ib3, with_stats=True, nb_blocks=nb_blocks,
                 n_images=B, per_image_stats=True)
-            dcl, acl, nbs = hd.luts_from_freqs(
+            dcl, acl, nbs, desc = hd.luts_and_desc_from_freqs(
                 jnp.reshape(freqs[0], (B, 2, -1)),
                 jnp.reshape(freqs[1], (B, 2, -1)), n_groups)
+            desc_flat = hd.desc_to_flat(nbs, desc)
             words, totals = _stage_batch_pack(
                 vlc_state, dcl, acl, n_images=B, bucket=bucket,
                 per_image_tables=True)
@@ -1616,22 +1664,49 @@ def _stage_search_loop_size(prep, quants_nodes, thr, dc_luts_def,
                 vlc_state, dc_luts_def, ac_luts_def, n_images=B,
                 bucket=bucket)
         stuffs = _stage_count_stuffing_batch(words, totals)
+        node32 = node
         ok = (totals != 0x7FFFFFFF) & (totals <= bucket * 32)
         bits = (hdr_fixed_bits + 8 * nb_sum + totals.astype(jnp.int32)
                 + 8 * stuffs)
         bits = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
         d = (bits >= thr).astype(jnp.int32)
-        return path * 2 + d, trace.at[p].set(bits)
+        tol_hit = ok & (bits >= conv_lo) & (bits <= conv_hi)
+        bconv = conv_tbl[node32, d] > 0
+        active = active & ~(tol_hit | bconv) & ok
+        words_all = jax.lax.dynamic_update_index_in_dim(
+            words_all, words, p, axis=0)
+        totals_all = jax.lax.dynamic_update_index_in_dim(
+            totals_all, totals.astype(jnp.int32), p, axis=0)
+        if desc_all is not None:
+            desc_all = jax.lax.dynamic_update_index_in_dim(
+                desc_all, desc_flat, p, axis=0)
+        return (path * 2 + d, active, trace.at[p].set(bits), words_all,
+                totals_all, desc_all)
 
     path0 = jnp.zeros((B,), jnp.int32)
+    active0 = jnp.ones((B,), jnp.bool_)
     trace0 = jnp.zeros((passes, B), jnp.int32)
+    words0 = jnp.zeros((passes, B, bucket), jnp.uint32)
+    tot0 = jnp.zeros((passes, B), jnp.int32)
+    desc0 = (jnp.zeros((passes, B, 604), jnp.int32) if optimize_size
+             else None)
+    carry = (path0, active0, trace0, words0, tot0, desc0)
     if _SEARCH_LOOP_UNROLL:
-        carry = (path0, trace0)
-        for p in range(passes):
-            carry = body(p, carry)
-        return carry[1]
-    _, trace = jax.lax.fori_loop(0, passes, body, (path0, trace0))
-    return trace
+        carry = body(0, carry)
+        for p in range(1, passes):
+            carry = jax.lax.cond(
+                jnp.any(carry[1]), functools.partial(body, p),
+                lambda c: c, carry)
+        return carry[2], carry[3], carry[4], carry[5]
+
+    def fbody(p, carry):
+        return jax.lax.cond(
+            (p == 0) | jnp.any(carry[1]),
+            functools.partial(body, p), lambda c: c, carry)
+
+    _, _, trace, words_all, totals_all, desc_all = jax.lax.fori_loop(
+        0, passes, fbody, carry)
+    return trace, words_all, totals_all, desc_all
 
 
 # Unrolling the pass loop lets XLA software-pipeline one pass's table
@@ -1640,19 +1715,40 @@ def _stage_search_loop_size(prep, quants_nodes, thr, dc_luts_def,
 _SEARCH_LOOP_UNROLL = True
 
 
+@jax.jit
+def _stage_search_pick(words_all, totals_all, desc_all, best_pass):
+    """Select each image's winning pass from the loop's saved state:
+    ([P, B, W], [P, B], [P, B, D], [B]) -> ([B, W], [B], [B, D])."""
+    bi = jnp.arange(words_all.shape[1], dtype=jnp.int32)
+    words = words_all[best_pass, bi]
+    totals = totals_all[best_pass, bi]
+    desc = None if desc_all is None else desc_all[best_pass, bi]
+    return words, totals, desc
+
+
+def _u64_ge(a_hi, a_lo, b_hi, b_lo):
+    return (a_hi > b_hi) | ((a_hi == b_hi) & (a_lo >= b_lo))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "passes", "n_images", "q_bias", "per_image_mats"))
 def _stage_search_loop_psnr(coeffs, quants_nodes, err_thr_hi, err_thr_lo,
-                            zero_d, passes: int, n_images: int,
+                            zero_d, tol_bounds, zero_tol, conv_tbl,
+                            passes: int, n_images: int,
                             q_bias: int, per_image_mats: bool):
     """Device-resident target-PSNR dichotomy: per pass one exact uint64
     quantize-error per image; branch on err <= threshold (the integer
-    form of PSNR > target).  Returns a [passes, 2, B] uint32 (hi, lo)
-    error trace for the host's float64 hook replay."""
+    form of PSNR > target).  Early exit mirrors the size loop:
+    `tol_bounds` = (lo_hi, lo_lo, hi_hi, hi_lo) uint32 words of the
+    exact err tolerance range, `zero_tol` whether err=0 satisfies it,
+    `conv_tbl` [K, 2] the bracket-convergence table.  Returns a
+    [passes, 2, B] uint32 (hi, lo) error trace for the host's float64
+    hook replay."""
     B = n_images
+    lo_hi, lo_lo, hi_hi, hi_lo = tol_bounds
 
     def body(p, carry):
-        path, trace = carry
+        path, active, trace = carry
         node = (1 << p) - 1 + path
         if per_image_mats:
             qn = jnp.take_along_axis(
@@ -1668,13 +1764,26 @@ def _stage_search_loop_psnr(coeffs, quants_nodes, err_thr_hi, err_thr_lo,
               | ((err_hi == err_thr_hi) & (err_lo <= err_thr_lo)))
         zero = (err_hi == 0) & (err_lo == 0)
         d = jnp.where(zero, zero_d, le.astype(jnp.int32))
+        in_rng = (_u64_ge(err_hi, err_lo, lo_hi, lo_lo)
+                  & _u64_ge(hi_hi, hi_lo, err_hi, err_lo))
+        tol_hit = jnp.where(zero, zero_tol > 0, in_rng & ~zero)
+        bconv = conv_tbl[node, d] > 0
+        active = active & ~(tol_hit | bconv)
         trace = trace.at[p, 0].set(err_hi.astype(jnp.uint32))
         trace = trace.at[p, 1].set(err_lo.astype(jnp.uint32))
-        return path * 2 + d, trace
+        return path * 2 + d, active, trace
 
     path0 = jnp.zeros((B,), jnp.int32)
+    active0 = jnp.ones((B,), jnp.bool_)
     trace0 = jnp.zeros((passes, 2, B), jnp.uint32)
-    _, trace = jax.lax.fori_loop(0, passes, body, (path0, trace0))
+
+    def fbody(p, carry):
+        return jax.lax.cond(
+            (p == 0) | jnp.any(carry[1]),
+            functools.partial(body, p), lambda c: c, carry)
+
+    _, _, trace = jax.lax.fori_loop(0, passes, fbody,
+                                    (path0, active0, trace0))
     return trace
 
 
@@ -1715,6 +1824,7 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
         hk.setup(param, initial_q)
         hooks.append(hk)
 
+    tracer = _StageTrace("search")
     trellis = flags["use_trellis"]
     # the search always caches the fDCT coefficients on device and
     # re-quantizes them per pass (the reference's CollectCoeffs +
@@ -1761,9 +1871,11 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
             coeffs, iq3, ib3, qq3, jnp.asarray(lens_arr.astype(np.int32)),
             with_stats=flags["optimize_size"], nb_blocks=nb_blocks,
             n_images=b, per_image_stats=True)
+    tracer.mark("prep dispatch")
     if histos is not None:
         hl = np.asarray(histos[0]).astype(np.int64).reshape(b, 64, -1)
         hc = np.asarray(histos[1]).astype(np.int64).reshape(b, 64, -1)
+        tracer.mark("histo fetch")
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1872,16 +1984,17 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
         clamped = np.maximum(base, minq_arr[None])
         if flags["use_adaptive_quant"]:
             K = clamped.shape[0]
+            # groups run serially: the torch fit already saturates the
+            # host cores; overlapping them measures slower (GIL +
+            # intra-op pool thrash)
             tuned_l = analyse_histo_nodes(
                 hl, clamped[:, 0].astype(np.uint8), min_qmats[0],
                 param.qdelta_max_luma)
-            if n_groups > 1:
-                tuned_c = analyse_histo_nodes(
-                    hc, clamped[:, 1].astype(np.uint8), min_qmats[1],
-                    param.qdelta_max_chroma)
-            else:
-                tuned_c = np.broadcast_to(
-                    clamped[None, :, 1], (b, K, 64)).astype(np.uint8)
+            tuned_c = (analyse_histo_nodes(
+                hc, clamped[:, 1].astype(np.uint8), min_qmats[1],
+                param.qdelta_max_chroma) if n_groups > 1 else
+                np.broadcast_to(clamped[None, :, 1],
+                                (b, K, 64)).astype(np.uint8))
             quants_nodes = np.maximum(
                 np.stack([tuned_l, tuned_c], axis=2).astype(np.int64),
                 minq_arr[None, None]).astype(np.uint8)        # [B,K,2,64]
@@ -1889,6 +2002,7 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
         else:
             quants_nodes = clamped.astype(np.uint8)           # [K, 2, 64]
             per_image_mats = False
+        tracer.mark("lambda-fit nodes")
 
         if for_size:
             if flags["optimize_size"]:
@@ -1899,16 +2013,29 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
                                              defaults)
             thr = int(np.int64(np.floor(8.0 * param.target_value)) + 1)
             thr = min(max(thr, -(2 ** 31)), 2 ** 31 - 1)
+            from .dichotomy import (build_q_conv_table,
+                                    size_tolerance_range)
+            conv_lo, conv_hi = size_tolerance_range(param)
+            conv_lo = min(max(conv_lo, -(2 ** 31)), 2 ** 31 - 1)
+            conv_hi = min(max(conv_hi, -(2 ** 31)), 2 ** 31 - 1)
+            conv_tbl = build_q_conv_table(param, initial_q, passes)
             dcl_def, acl_def = _default_luts_cached()
-            trace = np.asarray(_stage_search_loop_size(
-                prep, jnp.asarray(quants_nodes), jnp.int32(thr),
-                dcl_def, acl_def, passes=passes, nb_blocks=nb_blocks,
-                n_images=b, n_groups=n_groups, bucket=bucket,
-                optimize_size=flags["optimize_size"],
-                hdr_fixed_bits=int(hdr_fixed),
-                q_bias=int(param.quantization_bias),
-                per_image_mats=per_image_mats,
-                chroma_wrap=src_kind == "rgb"))
+            trace_dev, words_all, totals_all, desc_all = \
+                _stage_search_loop_size(
+                    prep, jnp.asarray(quants_nodes), jnp.int32(thr),
+                    jnp.int32(conv_lo), jnp.int32(conv_hi),
+                    jnp.asarray(conv_tbl),
+                    dcl_def, acl_def, passes=passes, nb_blocks=nb_blocks,
+                    n_images=b, n_groups=n_groups, bucket=bucket,
+                    optimize_size=flags["optimize_size"],
+                    hdr_fixed_bits=int(hdr_fixed),
+                    q_bias=int(param.quantization_bias),
+                    per_image_mats=per_image_mats,
+                    chroma_wrap=src_kind == "rgb")
+            tracer.mark("loop dispatch")
+            trace = np.asarray(trace_dev)
+            tracer.mark("trace fetch")
+            best_pass = np.zeros(b, np.int32)
             for i in range(b):
                 col = trace[:, i]
                 if (col == 0x7FFFFFFF).any():
@@ -1926,14 +2053,59 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
                 opt_qms[i] = [qn[0].copy(), qn[1].copy()]
                 best_q[i] = hooks[i].q
                 best_result[i] = hooks[i].value
+                best_pass[i] = (best_node + 1).bit_length() - 1
+            # reuse the winning pass's saved stream + tables: no final
+            # re-encode (the reference's FinalPassScan at the best
+            # matrices reproduces exactly these bytes)
+            tracer.mark("replay")
+            words_b, totals_b, desc_b = _stage_search_pick(
+                words_all, totals_all, desc_all, jnp.asarray(best_pass))
+            totals_np = np.asarray(totals_b)
+            tracer.mark("pick + totals fetch")
+            ok_mask = ((totals_np != 0x7FFFFFFF)
+                       & (totals_np <= bucket * 32))
+            words_np = fetch_streams_batch(
+                words_b, np.where(ok_mask, totals_np, 0))
+            tracer.mark("words fetch")
+            desc_np = (np.asarray(desc_b) if desc_b is not None else None)
+            tracer.mark("desc fetch")
+            out = []
+            for i in range(b):
+                if overflow[i] or not ok_mask[i]:
+                    out.append(_host_fallback_one(src, src_kind, i,
+                                                  yuv_mode, param))
+                    continue
+                qms_i = [spec.finalize_quant_matrix(
+                    opt_qms[i][g], min_qmats[g],
+                    param.quantization_bias) for g in range(2)]
+                if desc_np is not None:
+                    from .ops import huffman_device as hd
+                    tabs_i = hd.tables_from_flat(desc_np, i, n_groups)
+                else:
+                    tabs_i = defaults
+                scan = _finalize_scan_bytes(words_np[i],
+                                            int(totals_np[i]))
+                out.append(_assemble_jpeg(layout, param, qms_i, tabs_i,
+                                          scan))
+            tracer.mark("assemble")
+            return out
         else:
             size_img = 64 * n_blocks_img
             E = psnr_err_threshold(param.target_value, size_img)
             zd = 1 if 99.0 > param.target_value else 0
+            from .dichotomy import (build_q_conv_table,
+                                    psnr_tolerance_range)
+            t_lo, t_hi, zero_tol = psnr_tolerance_range(param, size_img)
+            conv_tbl = build_q_conv_table(param, initial_q, passes)
+            tol_bounds = (jnp.uint32(t_lo >> 32),
+                          jnp.uint32(t_lo & 0xFFFFFFFF),
+                          jnp.uint32(t_hi >> 32),
+                          jnp.uint32(t_hi & 0xFFFFFFFF))
             trace = np.asarray(_stage_search_loop_psnr(
                 coeffs, jnp.asarray(quants_nodes),
                 jnp.uint32(E >> 32), jnp.uint32(E & 0xFFFFFFFF),
-                jnp.int32(zd), passes=passes, n_images=b,
+                jnp.int32(zd), tol_bounds, jnp.int32(int(zero_tol)),
+                jnp.asarray(conv_tbl), passes=passes, n_images=b,
                 q_bias=int(param.quantization_bias),
                 per_image_mats=per_image_mats))
             for i in range(b):
