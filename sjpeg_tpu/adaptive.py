@@ -107,7 +107,16 @@ def analyse_histo_nodes(histos: np.ndarray, quants: np.ndarray,
             r = analyse_histo_nodes(histos, uq, min_quant, qdelta_max,
                                     chunk, workers)
             return np.ascontiguousarray(r[:, inv])
-    if _torch() is not None:
+    impl = _impl_choice()
+    if impl == "native":
+        from . import native
+        r = native.analyse_histo_nodes(histos.astype(np.int64),
+                                       quants, min_quant, qdelta_max,
+                                       C.HISTO_WEIGHT)
+        if r is not None:
+            return r
+        impl = "torch" if _torch() is not None else "numpy"
+    if impl == "torch":
         # torch's intra-op pool already uses the cores; outer B-splits
         # oversubscribe a small host and measure 3-10x SLOWER
         return _analyse_histo_nodes_chunk_torch(histos, quants,
@@ -123,6 +132,23 @@ def analyse_histo_nodes(histos: np.ndarray, quants: np.ndarray,
                 histos, quants[s[0]:s[1]], min_quant, qdelta_max),
             spans))
     return np.concatenate(parts, axis=1)
+
+
+def _impl_choice() -> str:
+    """Which analyse_histo_nodes twin to run: the SJPEG_ADAPTIVE_IMPL env
+    var ('native' | 'torch' | 'numpy') pins one — the parity-test lever
+    that lets a single environment cover every twin; default prefers the
+    threaded native fit, then torch, then numpy."""
+    import os
+    choice = os.environ.get("SJPEG_ADAPTIVE_IMPL", "").strip().lower()
+    if choice in ("native", "torch", "numpy"):
+        if choice == "torch" and _torch() is None:
+            return "numpy"
+        return choice
+    from . import native
+    if native.available():
+        return "native"
+    return "torch" if _torch() is not None else "numpy"
 
 
 @functools.lru_cache(maxsize=1)

@@ -1274,15 +1274,40 @@ def _ladder(n: int, floor: int = 1024) -> int:
     return base + -(-max(n - base, 0) // step) * step
 
 
+# Above this many bytes a device->host fetch splits into concurrent
+# row-chunk RPCs: the dev relay serves parallel streams ~1.4x faster than
+# one for large arrays (measured ~23 -> ~31-34 MB/s at 8.4 MB) but pays
+# extra per-RPC latency below that (2.6 MB: single 179 ms, 4-way 243 ms).
+# A co-located host is indifferent.
+_CONCURRENT_FETCH_BYTES = 6 << 20
+_CONCURRENT_FETCH_WAYS = 4
+
+
+def _fetch_rows_concurrent(arr) -> np.ndarray:
+    """np.asarray(arr) via `_CONCURRENT_FETCH_WAYS` parallel row-chunk
+    fetches (equal chunks keep the jitted-slice cache bounded)."""
+    from concurrent.futures import ThreadPoolExecutor
+    B = arr.shape[0]
+    ways = min(_CONCURRENT_FETCH_WAYS, B)
+    if ways <= 1 or arr.nbytes < _CONCURRENT_FETCH_BYTES:
+        return np.asarray(arr)
+    step = -(-B // ways)
+    spans = [(i, min(i + step, B)) for i in range(0, B, step)]
+    with ThreadPoolExecutor(max_workers=len(spans)) as pool:
+        parts = list(pool.map(lambda s: np.asarray(arr[s[0]:s[1]]), spans))
+    return np.concatenate(parts, axis=0)
+
+
 def fetch_streams_batch(words, totals_np) -> np.ndarray:
     """Fetch a [B, bucket] batch of streams as the smallest ladder-step
     word-column prefix covering every image's used words (the relay moves
-    bytes slowly; the bucket is sized for the worst case, not the batch)."""
+    bytes slowly; the bucket is sized for the worst case, not the batch).
+    Large fetches split into concurrent row-chunk RPCs."""
     nmax = int((int(totals_np.max()) + 31) // 32) if totals_np.size else 1
     if nmax >= words.shape[1]:
-        return np.asarray(words)
+        return _fetch_rows_concurrent(words)
     ncols = min(_ladder(nmax), words.shape[1])
-    return np.asarray(_slice_words_batch(words, ncols))
+    return _fetch_rows_concurrent(_slice_words_batch(words, ncols))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -1491,11 +1516,15 @@ def _stage_search_prep(src, yuv_mode: int, width: int, height: int,
             histo_c = jnp.zeros_like(histo_l)
         bound = max(coeffs32[0].shape[0],
                     2 * coeffs32[1].shape[0] if len(coeffs32) > 1 else 0)
+        # one [2, B*64*bins] array so both groups' histograms arrive in a
+        # single device->host RPC (the dev tunnel charges per fetch)
         if bound // n_images < (1 << 16):
-            prep["histos"] = (histo_l.reshape(-1).astype(jnp.uint16),
-                              histo_c.reshape(-1).astype(jnp.uint16))
+            prep["histos"] = jnp.stack(
+                [histo_l.reshape(-1).astype(jnp.uint16),
+                 histo_c.reshape(-1).astype(jnp.uint16)])
         else:
-            prep["histos"] = (histo_l.reshape(-1), histo_c.reshape(-1))
+            prep["histos"] = jnp.stack([histo_l.reshape(-1),
+                                        histo_c.reshape(-1)])
     return prep
 
 
@@ -1697,16 +1726,21 @@ def _stage_search_loop_size(prep, quants_nodes, thr, conv_lo, conv_hi,
             carry = jax.lax.cond(
                 jnp.any(carry[1]), functools.partial(body, p),
                 lambda c: c, carry)
-        return carry[2], carry[3], carry[4], carry[5]
+        _, _, trace, words_all, totals_all, desc_all = carry
+    else:
+        def fbody(p, carry):
+            return jax.lax.cond(
+                (p == 0) | jnp.any(carry[1]),
+                functools.partial(body, p), lambda c: c, carry)
 
-    def fbody(p, carry):
-        return jax.lax.cond(
-            (p == 0) | jnp.any(carry[1]),
-            functools.partial(body, p), lambda c: c, carry)
-
-    _, _, trace, words_all, totals_all, desc_all = jax.lax.fori_loop(
-        0, passes, fbody, carry)
-    return trace, words_all, totals_all, desc_all
+        _, _, trace, words_all, totals_all, desc_all = jax.lax.fori_loop(
+            0, passes, fbody, carry)
+    # one [P, B, 2 + D] combo (exact bits, scan totals, DHT descriptions)
+    # so every loop output except the streams arrives in a single RPC
+    parts = [trace[:, :, None], totals_all[:, :, None]]
+    if desc_all is not None:
+        parts.append(desc_all)
+    return jnp.concatenate(parts, axis=2), words_all
 
 
 # Unrolling the pass loop lets XLA software-pipeline one pass's table
@@ -1724,6 +1758,37 @@ def _stage_search_pick(words_all, totals_all, desc_all, best_pass):
     totals = totals_all[best_pass, bi]
     desc = None if desc_all is None else desc_all[best_pass, bi]
     return words, totals, desc
+
+
+@jax.jit
+def _stage_search_pick_words(words_all, best_pass):
+    """Words-only winning-pass gather ([P, B, W], [B] -> [B, W]); totals
+    and DHT descriptions come from the host-side copies of the loop's
+    [P, B] outputs, so the device round trip moves only the streams."""
+    bi = jnp.arange(words_all.shape[1], dtype=jnp.int32)
+    return words_all[best_pass, bi]
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _stage_compact_pick(words_all, best_pass, counts, cap: int):
+    """Winning-pass gather + exact-prefix compaction: [P, B, W] saved
+    streams + [B] chosen passes + [B] used word counts -> one [cap]
+    flat array holding every image's used words back to back.  The host
+    knows the per-image counts (from the loop's totals), so the whole
+    batch's output rides ONE device->host RPC with zero ladder overshoot
+    — the fetch is the search's serving-path bottleneck through the dev
+    tunnel."""
+    B = words_all.shape[1]
+    bi = jnp.arange(B, dtype=jnp.int32)
+    words = words_all[best_pass, bi]                      # [B, W]
+    ends = jnp.cumsum(counts)                             # [B]
+    offs = ends - counts
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    img = jnp.searchsorted(ends, idx, side="right").astype(jnp.int32)
+    img = jnp.minimum(img, B - 1)
+    within = idx - offs[img]
+    valid = (idx < ends[B - 1]) & (within < words.shape[1])
+    return jnp.where(valid, words[img, jnp.where(valid, within, 0)], 0)
 
 
 def _u64_ge(a_hi, a_lo, b_hi, b_lo):
@@ -1873,8 +1938,12 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
             n_images=b, per_image_stats=True)
     tracer.mark("prep dispatch")
     if histos is not None:
-        hl = np.asarray(histos[0]).astype(np.int64).reshape(b, 64, -1)
-        hc = np.asarray(histos[1]).astype(np.int64).reshape(b, 64, -1)
+        if isinstance(histos, tuple):
+            hh = np.stack([np.asarray(histos[0]), np.asarray(histos[1])])
+        else:
+            hh = np.asarray(histos)           # [2, ...]: one RPC
+        hh = hh.astype(np.int64).reshape(2, b, 64, -1)
+        hl, hc = hh[0], hh[1]
         tracer.mark("histo fetch")
 
     from concurrent.futures import ThreadPoolExecutor
@@ -2020,7 +2089,7 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
             conv_hi = min(max(conv_hi, -(2 ** 31)), 2 ** 31 - 1)
             conv_tbl = build_q_conv_table(param, initial_q, passes)
             dcl_def, acl_def = _default_luts_cached()
-            trace_dev, words_all, totals_all, desc_all = \
+            combo_dev, words_all = \
                 _stage_search_loop_size(
                     prep, jnp.asarray(quants_nodes), jnp.int32(thr),
                     jnp.int32(conv_lo), jnp.int32(conv_hi),
@@ -2033,7 +2102,11 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
                     per_image_mats=per_image_mats,
                     chroma_wrap=src_kind == "rgb")
             tracer.mark("loop dispatch")
-            trace = np.asarray(trace_dev)
+            combo = np.asarray(combo_dev)     # one RPC for all loop
+            trace = combo[:, :, 0]            # outputs but the streams
+            totals_all_np = combo[:, :, 1]
+            desc_all_np = (combo[:, :, 2:] if combo.shape[2] > 2
+                           else None)
             tracer.mark("trace fetch")
             best_pass = np.zeros(b, np.int32)
             for i in range(b):
@@ -2058,17 +2131,24 @@ def _encode_batch_search(src, src_kind: str, yuv_mode: int, w: int, h: int,
             # re-encode (the reference's FinalPassScan at the best
             # matrices reproduces exactly these bytes)
             tracer.mark("replay")
-            words_b, totals_b, desc_b = _stage_search_pick(
-                words_all, totals_all, desc_all, jnp.asarray(best_pass))
-            totals_np = np.asarray(totals_b)
-            tracer.mark("pick + totals fetch")
+            bi = np.arange(b)
+            totals_np = totals_all_np[best_pass, bi]
+            desc_np = (None if desc_all_np is None
+                       else desc_all_np[best_pass, bi])
             ok_mask = ((totals_np != 0x7FFFFFFF)
                        & (totals_np <= bucket * 32))
-            words_np = fetch_streams_batch(
-                words_b, np.where(ok_mask, totals_np, 0))
+            counts = np.where(ok_mask, (totals_np + 31) // 32, 0)
+            offs = np.cumsum(counts) - counts
+            cap = min(int(_ladder(max(int(counts.sum()), 1))),
+                      b * words_all.shape[2])
+            flat = _stage_compact_pick(
+                words_all, jnp.asarray(best_pass),
+                jnp.asarray(counts.astype(np.int32)), cap)
+            tracer.mark("pick dispatch")
+            flat_np = _fetch_rows_concurrent(flat[None])[0]
+            words_np = [flat_np[offs[i]:offs[i] + counts[i]]
+                        for i in range(b)]
             tracer.mark("words fetch")
-            desc_np = (np.asarray(desc_b) if desc_b is not None else None)
-            tracer.mark("desc fetch")
             out = []
             for i in range(b):
                 if overflow[i] or not ok_mask[i]:

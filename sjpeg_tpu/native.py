@@ -47,6 +47,14 @@ def _load():
                     ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
             except AttributeError:   # older library build
                 pass
+            try:
+                lib.sjpeg_analyse_histo_nodes.restype = None
+                lib.sjpeg_analyse_histo_nodes.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                    ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            except AttributeError:   # older library build
+                pass
             _LIB = lib
             break
     return _LIB
@@ -68,6 +76,34 @@ def huffman_codesizes(freq: np.ndarray, size: int):
 
 def available() -> bool:
     return _load() is not None
+
+
+def analyse_histo_nodes(histos: np.ndarray, quants: np.ndarray,
+                        min_quant: np.ndarray, qdelta_max: int,
+                        weight: np.ndarray, n_threads: int = 0):
+    """Native batched adaptive-quant node fit: [B, 64, 128] int64 histos x
+    [K, 64] uint8 candidate matrices -> [B, K, 64] uint8 tuned matrices,
+    bit-identical to adaptive._analyse_histo_nodes_chunk.  Returns None
+    when the native library (or the symbol) is absent."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sjpeg_analyse_histo_nodes"):
+        return None
+    h = np.ascontiguousarray(histos, dtype=np.int64)
+    q = np.ascontiguousarray(quants, dtype=np.uint8)
+    mq = np.ascontiguousarray(min_quant, dtype=np.uint8)
+    w = np.ascontiguousarray(weight, dtype=np.float64)
+    B, K = h.shape[0], q.shape[0]
+    out = np.empty((B, K, 64), dtype=np.uint8)
+    if n_threads <= 0:
+        import os
+        n_threads = min(os.cpu_count() or 1, 8)
+    lib.sjpeg_analyse_histo_nodes(
+        h.ctypes.data_as(ctypes.c_void_p), B,
+        q.ctypes.data_as(ctypes.c_void_p), K,
+        mq.ctypes.data_as(ctypes.c_void_p), int(qdelta_max),
+        w.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), int(n_threads))
+    return out
 
 
 def stuff_bytes(raw: np.ndarray) -> bytes:
