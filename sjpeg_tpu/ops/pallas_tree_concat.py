@@ -226,11 +226,11 @@ def _merge_level(units, lens, w: int, radix: int, out_w: int):
     return out, jnp.sum(lens, axis=1)
 
 
-# Stop growing tree units once a merge tile would leave comfortable VMEM
-# reach; the few remaining wide units per image are placed by the XLA
-# scan finisher below (whose per-step loop overhead dominates, so fewer,
-# wider units win).
-W_STOP = 32768
+# Stop growing tree units once the dynamic-store Pallas finisher places
+# the remaining units cheaper than further merge levels would (measured
+# sweep on chip, 16x1024^2: 2048 -> 7.1 ms vs 32768 -> 8.2 ms; below 1024
+# the finisher's per-unit fixed cost takes over: 512 -> 10.3 ms).
+W_STOP = 2048
 
 # Number of early radix-4 levels whose merged frames are truncated to
 # half width (2w instead of 4w).  Real streams average ~50-150 bits per
@@ -283,6 +283,107 @@ def _finish_units(units, lens, n_images: int, bucket: int):
 
     out, _ = jax.lax.scan(body, out0, (img_ids, wo, shifted))
     return out[:, :bucket], totals.astype(jnp.int32)
+
+
+def _make_finish_kernel(k: int, wr: int, out_rows: int):
+    """Per-image finisher: merge k wide units into one stream by
+    dynamic-sublane read-modify-write placement.
+
+    Units arrive as [k * wr, 128] sublane-major word rows; each unit is
+    phase-shifted by its bit offset (o & 31), lane-rotated by the word
+    offset's lane part (wo & 127, one dynamic pltpu.roll + row-carry
+    select), and OR-stored at sublane row wo >> 7.  Replaces the XLA
+    scan finisher whose n_images * k sequential dynamic-update-slice
+    steps dominated the concat (4.8 ms -> DMA-bound)."""
+
+    def kernel(units_ref, off_ref, out_ref):
+        out_ref[:] = jnp.zeros((out_rows, LANE_F), jnp.uint32)
+
+        def unit_step(j, carry):
+            o = off_ref[j >> 7, j & (LANE_F - 1)]
+            u = units_ref[pl.ds(j * wr, wr), :]            # [wr, 128]
+            row_u = jax.lax.broadcasted_iota(jnp.int32, (wr, LANE_F), 0)
+            lane_u = jax.lax.broadcasted_iota(jnp.int32, (wr, LANE_F), 1)
+            s = (o & 31).astype(jnp.uint32)
+            inv = jnp.uint32(32) - s
+            # previous flat word: lane roll by 1 + sublane-roll row carry
+            # (fresh iotas + rolls only: sublane slices / [1, 128] concats
+            # of loop-carried values abort the Mosaic compiler here)
+            pr = pltpu.roll(u, shift=1, axis=1)
+            pr_dn = jnp.where(row_u > 0, pltpu.roll(pr, shift=1, axis=0),
+                              jnp.uint32(0))
+            prev = jnp.where(lane_u > 0, pr, pr_dn)
+            ph = (u >> s) | jnp.where(s > 0, prev << inv, jnp.uint32(0))
+            # tail word (content spilling past the unit's last word)
+            last = jnp.sum(jnp.where(
+                (row_u == wr - 1) & (lane_u == LANE_F - 1),
+                u.astype(jnp.int32), 0)).astype(jnp.uint32)
+            row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_F), 0)
+            lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_F), 1)
+            tailblk = jnp.where(
+                (row8 == 0) & (lane8 == 0),
+                jnp.where(s > 0, last << inv, jnp.uint32(0)),
+                jnp.uint32(0))
+            frame = jnp.concatenate([ph, tailblk], axis=0)  # [wr + 8, 128]
+            wo = o >> 5
+            c0 = wo & (LANE_F - 1)
+            row_f = jax.lax.broadcasted_iota(jnp.int32,
+                                             (wr + 8, LANE_F), 0)
+            lane_f = jax.lax.broadcasted_iota(jnp.int32,
+                                              (wr + 8, LANE_F), 1)
+            fr = pltpu.roll(frame, shift=c0, axis=1)
+            fr_dn = jnp.where(row_f > 0, pltpu.roll(fr, shift=1, axis=0),
+                              jnp.uint32(0))
+            placed = jnp.where(lane_f >= c0, fr, fr_dn)
+            r0 = jnp.minimum(wo >> 7, out_rows - (wr + 8))
+            cur = out_ref[pl.ds(r0, wr + 8), :]
+            out_ref[pl.ds(r0, wr + 8), :] = cur | placed
+            return carry
+
+        jax.lax.fori_loop(0, k, unit_step, 0)
+
+    return kernel
+
+
+LANE_F = 128
+
+
+def _finish_units_pallas(units, lens, n_images: int, bucket: int):
+    """Pallas finisher (see _make_finish_kernel); units [M, w] with
+    w % 128 == 0.  Falls back to the XLA scan via the caller for other
+    shapes."""
+    M, w = units.shape
+    k = M // n_images
+    wr = w // LANE_F
+    l2 = lens.reshape(n_images, k).astype(jnp.int32)
+    offs = jnp.cumsum(l2, axis=1) - l2
+    totals = jnp.sum(l2, axis=1)
+    out_rows = -(-(-(-bucket // LANE_F) + wr + 8) // 8) * 8
+    units_r = units.reshape(M * wr, LANE_F)
+    # SMEM blocks obey the same (8, 128) block rule: carry each image's
+    # offsets as a lane-packed (rows8, 128) block
+    kr = -(-k // LANE_F)
+    rows8 = -(-kr // 8) * 8
+    offs = jnp.pad(offs, ((0, 0), (0, kr * LANE_F - k)))
+    offs = offs.reshape(n_images, kr, LANE_F)
+    offs = jnp.pad(offs, ((0, 0), (0, rows8 - kr), (0, 0)))
+    offs = offs.reshape(n_images * rows8, LANE_F)
+    out = pl.pallas_call(
+        _make_finish_kernel(k, wr, out_rows),
+        grid=(n_images,),
+        in_specs=[
+            pl.BlockSpec((k * wr, LANE_F), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows8, LANE_F), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((out_rows, LANE_F), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_images * out_rows, LANE_F),
+                                       jnp.uint32),
+    )(units_r, offs)
+    out = out.reshape(n_images, out_rows * LANE_F)[:, :bucket]
+    return out, totals.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_images", "bucket",
@@ -383,6 +484,10 @@ def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int,
         if w < bucket:
             out = jnp.pad(out, ((0, 0), (0, bucket - w)))
         out, totals = out[:, :bucket], totals.astype(jnp.int32)
+    elif w % LANE_F == 0:
+        out, totals = _finish_units_pallas(units.reshape(-1, w),
+                                           lens.reshape(-1), n_images,
+                                           bucket)
     else:
         out, totals = _finish_units(units.reshape(-1, w), lens.reshape(-1),
                                     n_images, bucket)

@@ -774,3 +774,41 @@ def test_stage_batch_freqs_fused_matches_staged(rng):
         nb_blocks=(4, 1, 1), n_images=b, stats_images=b, src_kind="rgb")
     np.testing.assert_array_equal(np.asarray(got3[0]), np.asarray(want[0]))
     np.testing.assert_array_equal(np.asarray(got3[1]), np.asarray(want[1]))
+
+
+def test_pallas_finisher_matches_xla_scan_interpret(rng):
+    """Dynamic-store Pallas finisher vs the XLA scan finisher on
+    random wide units (incl. zero-length and phase/rotation edges)."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.ops import pallas_tree_concat as ptc
+    for (n_images, k, w, bucket) in [(2, 4, 256, 2048), (3, 8, 128, 1024),
+                                     (1, 2, 512, 700)]:
+        M = n_images * k
+        lens = rng.randint(0, w * 32 // 2, M).astype(np.int32)
+        lens[rng.rand(M) < 0.2] = 0
+        units = np.zeros((M, w), np.uint32)
+        for n in range(M):
+            L = int(lens[n])
+            for j in range((L + 31) // 32):
+                bits = min(32, L - 32 * j)
+                v = (rng.randint(0, 1 << bits, dtype=np.int64)
+                     << (32 - bits) if bits < 32
+                     else rng.randint(0, 1 << 32, dtype=np.int64))
+                units[n, j] = np.uint32(v)
+        want, wt = ptc._finish_units(jnp.asarray(units), jnp.asarray(lens),
+                                     n_images, bucket)
+        orig = pl.pallas_call
+
+        def patched(*a, **kk):
+            kk["interpret"] = True
+            kk.pop("compiler_params", None)
+            return orig(*a, **kk)
+
+        pl.pallas_call = patched
+        try:
+            got, gt = ptc._finish_units_pallas(
+                jnp.asarray(units), jnp.asarray(lens), n_images, bucket)
+        finally:
+            pl.pallas_call = orig
+        np.testing.assert_array_equal(np.asarray(wt), np.asarray(gt))
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
