@@ -388,6 +388,37 @@ def _stage_pack(vlc_state, dc_luts, ac_luts):
     return pack.concat_block_streams(words, bit_lens)
 
 
+def _pad_image_tiles(sinter, dc_codes, group, n_images: int, tile: int):
+    """Pad each image's block rows to whole tiles for the fused
+    units kernel; pad blocks carry group=2 (the kernel's pad flag, bit 0
+    = table group) so they merge as zero-length streams."""
+    N = group.shape[0]
+    per_img = N // n_images
+    padded = -(-per_img // tile) * tile
+    pad = padded - per_img
+    if not pad:
+        return sinter, dc_codes, group, per_img
+    s2 = sinter.reshape(n_images, per_img, sinter.shape[1])
+    sinter = jnp.pad(s2, ((0, 0), (0, pad), (0, 0))).reshape(
+        -1, sinter.shape[1])
+    dc_codes = jnp.pad(dc_codes.reshape(n_images, per_img),
+                       ((0, 0), (0, pad))).reshape(-1)
+    group = jnp.pad(group.reshape(n_images, per_img),
+                    ((0, 0), (0, pad)),
+                    constant_values=2).reshape(-1)
+    return sinter, dc_codes, group, padded
+
+
+def _units_path_ok(n_blocks_padded: int, n_images: int, tile: int) -> bool:
+    """The fused pack+merge path applies when per-image rows fill whole
+    tiles and the batch is large enough that the old tree would have
+    sliced level 0 anyway (same density rationale: small dense batches
+    would overflow the truncated frames and fall back wholesale)."""
+    from .ops import pallas_tree_concat
+    return (n_blocks_padded % (n_images * tile) == 0
+            and n_blocks_padded >= pallas_tree_concat.SLICED_MIN_UNITS)
+
+
 def _encode_core_body(src, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
                       width: int, height: int, nb_blocks, n_images: int = 1,
                       bucket=None, src_kind: str = "rgb"):
@@ -418,10 +449,23 @@ def _encode_core_body(src, iquant, ibias, dc_luts, ac_luts, yuv_mode: int,
     if on_tpu:
         # samples go straight into the fused Pallas kernel (in-kernel
         # fDCT): the [N, 64] coefficient plane never reaches HBM
-        from .ops import pallas_quant_pack
+        from .ops import pallas_quant_pack, pallas_tree_concat
         sinter, dc_codes, group = _interleave_samples(
             blocks, iquant, ibias, nb_blocks, n_images,
             chroma_wrap=chroma_wrap)
+        if bucket is not None:
+            tile = pallas_quant_pack.DEFAULT_TILE
+            sp, dp, gp, per_pad = _pad_image_tiles(
+                sinter, dc_codes, group, n_images, tile)
+            if _units_path_ok(per_pad * n_images, n_images, tile):
+                # pack + first two concat levels in one kernel: the
+                # [N, 64] per-block stream plane never reaches HBM
+                units, ulens = \
+                    pallas_quant_pack.sample_vlc_pack_units_pallas(
+                        sp, dp, gp, iquant, ibias, dc_luts, ac_luts,
+                        chroma_wrap=chroma_wrap)
+                return pallas_tree_concat.concat_units_tree(
+                    units, ulens, n_images=n_images, bucket=bucket)
         words, bit_lens = pallas_quant_pack.sample_vlc_pack_pallas(
             sinter, dc_codes, group, iquant, ibias, dc_luts, ac_luts,
             chroma_wrap=chroma_wrap)
@@ -1006,7 +1050,17 @@ def _encode_batch_opt_core(src, iquant, ibias, dc_luts, ac_luts, *,
             blocks, iquant, ibias, nb_blocks, n_images,
             chroma_wrap=chroma_wrap)
         per_image = per_image_tables or iquant.ndim == 3
+        tile = pallas_quant_pack.DEFAULT_TILE
         if not per_image:
+            sp, dp, gp, per_pad = _pad_image_tiles(
+                sinter, dc_codes, group, n_images, tile)
+            if _units_path_ok(per_pad * n_images, n_images, tile):
+                units, ulens = \
+                    pallas_quant_pack.sample_vlc_pack_units_pallas(
+                        sp, dp, gp, iquant, ibias, dc_luts, ac_luts,
+                        chroma_wrap=chroma_wrap)
+                return pallas_tree_concat.concat_units_tree(
+                    units, ulens, n_images=n_images, bucket=bucket)
             words, bit_lens = pallas_quant_pack.sample_vlc_pack_pallas(
                 sinter, dc_codes, group, iquant, ibias, dc_luts, ac_luts,
                 chroma_wrap=chroma_wrap)
@@ -1021,27 +1075,26 @@ def _encode_batch_opt_core(src, iquant, ibias, dc_luts, ac_luts, *,
                     jnp.broadcast_to(dc_luts, (n_images,) + dc_luts.shape))
             acl3 = (ac_luts if ac_luts.ndim == 3 else
                     jnp.broadcast_to(ac_luts, (n_images,) + ac_luts.shape))
-            tile = pallas_quant_pack.DEFAULT_TILE
+            sp, dp, gp, per_pad = _pad_image_tiles(
+                sinter, dc_codes, group, n_images, tile)
+            if _units_path_ok(per_pad * n_images, n_images, tile):
+                units, ulens = \
+                    pallas_quant_pack.sample_vlc_pack_units_pallas(
+                        sp, dp, gp, iq3, ib3, dcl3, acl3,
+                        tiles_per_img=per_pad // tile,
+                        chroma_wrap=chroma_wrap)
+                return pallas_tree_concat.concat_units_tree(
+                    units, ulens, n_images=n_images, bucket=bucket)
             N = group.shape[0]
             per_img = N // n_images
-            padded = -(-per_img // tile) * tile
-            pad = padded - per_img
-
-            def padrows(x):
-                if not pad:
-                    return x
-                x2 = x.reshape((n_images, per_img) + x.shape[1:])
-                cfg = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 1)
-                return jnp.pad(x2, cfg).reshape((-1,) + x.shape[1:])
-
+            pad = per_pad - per_img
             words, bit_lens = pallas_quant_pack.sample_vlc_pack_pallas(
-                padrows(sinter), padrows(dc_codes), padrows(group),
-                iq3, ib3, dcl3, acl3, tiles_per_img=padded // tile,
-                chroma_wrap=chroma_wrap)
+                sp, dp, jnp.minimum(gp, 1), iq3, ib3, dcl3, acl3,
+                tiles_per_img=per_pad // tile, chroma_wrap=chroma_wrap)
             if pad:
                 # pad rows still emit DC+EOB codes; zero them so the
                 # concat's left-aligned-content invariant holds
-                valid = (jnp.arange(padded, dtype=jnp.int32) < per_img)
+                valid = (jnp.arange(per_pad, dtype=jnp.int32) < per_img)
                 valid = jnp.tile(valid, n_images)
                 bit_lens = jnp.where(valid, bit_lens, 0)
                 words = jnp.where(valid[:, None], words, 0)
@@ -1573,22 +1626,20 @@ def _fused_pack_from_samples(sinter, dc_codes, group, iq3, ib3, dcl3,
     tile = pallas_quant_pack.DEFAULT_TILE
     N = group.shape[0]
     per_img = N // n_images
-    padded = -(-per_img // tile) * tile
-    pad = padded - per_img
-
-    def padrows(x):
-        if not pad:
-            return x
-        x2 = x.reshape((n_images, per_img) + x.shape[1:])
-        cfg = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x2, cfg).reshape((-1,) + x.shape[1:])
-
+    sp, dp, gp, per_pad = _pad_image_tiles(sinter, dc_codes, group,
+                                           n_images, tile)
+    if _units_path_ok(per_pad * n_images, n_images, tile):
+        units, ulens = pallas_quant_pack.sample_vlc_pack_units_pallas(
+            sp, dp, gp, iq3, ib3, dcl3, acl3,
+            tiles_per_img=per_pad // tile, chroma_wrap=chroma_wrap)
+        return pallas_tree_concat.concat_units_tree(
+            units, ulens, n_images=n_images, bucket=bucket)
+    pad = per_pad - per_img
     words, bit_lens = pallas_quant_pack.sample_vlc_pack_pallas(
-        padrows(sinter), padrows(dc_codes), padrows(group),
-        iq3, ib3, dcl3, acl3, tiles_per_img=padded // tile,
-        chroma_wrap=chroma_wrap)
+        sp, dp, jnp.minimum(gp, 1), iq3, ib3, dcl3, acl3,
+        tiles_per_img=per_pad // tile, chroma_wrap=chroma_wrap)
     if pad:
-        valid = (jnp.arange(padded, dtype=jnp.int32) < per_img)
+        valid = (jnp.arange(per_pad, dtype=jnp.int32) < per_img)
         valid = jnp.tile(valid, n_images)
         bit_lens = jnp.where(valid, bit_lens, 0)
         words = jnp.where(valid[:, None], words, 0)

@@ -147,6 +147,37 @@ def _decode_chroma_wrap(xp, grp0):
     return jnp.where(jnp.logical_not(grp0) & (xp == -128), 128, xp)
 
 
+def _fold_merge_units(words, total, pad_col):
+    """In-kernel first two concat levels: [T, 64] per-block streams ->
+    [T/4, 128] 4-block units + [T/4, 1] exact unit bit lengths.
+
+    The caller permuted the tile's block rows (fold order, see
+    `fold_permute_rows`), so two successive half-concat folds put
+    scan-consecutive blocks side by side; two _merge2 rounds then splice
+    them at exact bit offsets.  The 256-word level-1 frame truncates to
+    128 words — same invariant (and same overflow threshold, 4096 bits)
+    as the tree's sliced level 0, which this replaces along with its
+    ~150 MB/batch HBM round trip.  Pad blocks (marked group >= 2)
+    zeroed here so they merge as no-ops."""
+    from . import pallas_tree_concat as ptc
+    T = words.shape[0]
+    total = jnp.where(pad_col, 0, total)
+    words = jnp.where(jnp.broadcast_to(pad_col, words.shape),
+                      jnp.uint32(0), words)
+    y = jnp.concatenate([words[:T // 2], words[T // 2:]], axis=1)
+    ly = jnp.concatenate([total[:T // 2], total[T // 2:]], axis=1)
+    la = jax.lax.slice_in_dim(ly, 0, 1, axis=1)
+    m = ptc._merge2(y, la, 64)                       # [T/2, 128]
+    lm = la + jax.lax.slice_in_dim(ly, 1, 2, axis=1)
+    z = jnp.concatenate([m[:T // 4], m[T // 4:]], axis=1)
+    lz = jnp.concatenate([lm[:T // 4], lm[T // 4:]], axis=1)
+    la2 = jax.lax.slice_in_dim(lz, 0, 1, axis=1)
+    u2 = ptc._merge2(z, la2, 128)                    # [T/4, 256]
+    units = jax.lax.slice_in_dim(u2, 0, 128, axis=1)
+    ulen = la2 + jax.lax.slice_in_dim(lz, 1, 2, axis=1)
+    return units, ulen
+
+
 def _sample_pack_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
                         fa_ref, fpcb_ref, fpozz_ref, fkv_ref,
                         ac_lut_ref, words_ref, total_ref, *, tpm,
@@ -186,6 +217,130 @@ def _sample_pack_kernel_sets(x_ref, meta_ref, iquant_ref, ibias_ref,
     words, total = _rl_fields(q, mdc, grp0, _DropLead(ac_lut_ref))
     words_ref[:] = words
     total_ref[:] = lanes_from_cols(total, total_ref.shape[1])
+
+
+def _sample_pack_units_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
+                              fa_ref, fpcb_ref, fpozz_ref, fkv_ref,
+                              ac_lut_ref, units_ref, ulen_ref, *, tpm,
+                              chroma_wrap=False, per_image=False):
+    """Units variant: the shared fDCT/quantize/VLC/pack body, then the
+    first two concat levels fused in VMEM (_fold_merge_units)."""
+    from .pallas_vlc_pack import meta_split_pad
+    xp = _paired(x_ref[:].astype(jnp.int32))
+    R = xp.shape[0]
+    mdc, grp0, pad_col = meta_split_pad(meta_ref, tpm, R)
+    if chroma_wrap:
+        xp = _decode_chroma_wrap(xp, grp0)
+    zz = pallas_fdct.fdct_body(xp, fa_ref, fpcb_ref, fpozz_ref, fkv_ref)
+    if per_image:
+        q = _quantize(zz, grp0, _DropLead(iquant_ref),
+                      _DropLead(ibias_ref))
+        words, total = _rl_fields(q, mdc, grp0, _DropLead(ac_lut_ref))
+    else:
+        q = _quantize(zz, grp0, iquant_ref, ibias_ref)
+        words, total = _rl_fields(q, mdc, grp0, ac_lut_ref)
+    units, ulen = _fold_merge_units(words, total, pad_col)
+    units_ref[:] = units
+    ulen_ref[:] = lanes_from_cols(ulen, ulen_ref.shape[1])
+
+
+def fold_permute_rows(x, tile: int):
+    """Scan-order block rows -> the in-tile fold order the units kernel
+    needs: two successive half-concat folds of a tile's rows then yield
+    scan-consecutive 4-block groups (input row q + (tile/4) * p holds
+    scan block 4q + bitrev2(p); XLA glue, one gather per program)."""
+    nt = x.shape[0] // tile
+    xr = x.reshape((nt, tile // 4, 4) + x.shape[1:])
+    xr = xr[:, :, np.asarray((0, 2, 1, 3))]
+    xr = jnp.swapaxes(xr, 1, 2)
+    return xr.reshape((-1,) + x.shape[1:])
+
+
+ULEN_MW = 32
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "tiles_per_img",
+                                             "chroma_wrap"))
+def sample_vlc_pack_units_pallas(samples, dc_codes, group, iquant2,
+                                 ibias2, dc_luts, ac_luts,
+                                 tile: int = DEFAULT_TILE,
+                                 tiles_per_img: int = 0,
+                                 chroma_wrap: bool = False):
+    """sample_vlc_pack_pallas fused with the first two concat levels.
+
+    Same arguments/contract as sample_vlc_pack_pallas, except:
+    - N must be a whole number of tiles and per-IMAGE block counts whole
+      tiles too (callers pad each image's rows and mark pad blocks with
+      group >= 2, which the kernel zeroes before merging);
+    - returns ([N/4, 128] uint32 left-aligned 4-block units,
+      [N/4 / mw, mw] int32 lane-packed exact unit bit lengths) feeding
+      pallas_tree_concat.concat_units_tree.  A unit whose content
+      exceeds the 128-word frame is truncated; its exact length still
+      reports, and the concat flags the image for the engine's
+      overflow fallback (threshold 4096 bits = the tree's sliced
+      level-0 invariant)."""
+    N = samples.shape[0]
+    assert N % tile == 0 and N % (4 * ULEN_MW) == 0
+    samples = fold_permute_rows(samples, tile)
+    dc_codes = fold_permute_rows(dc_codes, tile)
+    group = fold_permute_rows(group, tile)
+    A, PCB, POZZ, KV = pallas_fdct.fdct_matrices(zigzag_out=True,
+                                                 paired=True)
+    iquant2 = _tile_lanes(_to_zigzag_lanes(iquant2))
+    ibias2 = _tile_lanes(_to_zigzag_lanes(ibias2))
+    mw = 64 if tile % 512 == 0 else tile
+    tpm = tile // mw
+    mw2 = ULEN_MW if tile % 512 == 0 else tile // 4
+    n_images = dc_luts.shape[0] if dc_luts.ndim == 3 else 1
+    meta = build_meta_rows(dc_codes, group, dc_luts, tile, mw, n_images)
+
+    spec64 = pl.BlockSpec((tile, 64), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_meta = pl.BlockSpec((2 * tpm, mw), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_ulen = pl.BlockSpec((tile // 4 // mw2, mw2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    if tiles_per_img:
+        assert iquant2.ndim == 3 and dc_luts.ndim == 3 and \
+            N // tile == n_images * tiles_per_img
+        t = tiles_per_img
+        per_img = lambda shape, space: pl.BlockSpec(
+            (1,) + shape, lambda i, t=t: (i // t, 0, 0),
+            memory_space=space)
+        q_spec = lambda: per_img((2, LANE), pltpu.VMEM)
+        lut_spec = per_img((2, 256), pltpu.SMEM)
+        kernel = functools.partial(_sample_pack_units_kernel, tpm=tpm,
+                                   chroma_wrap=chroma_wrap,
+                                   per_image=True)
+    else:
+        q_spec = lambda: const((2, LANE))
+        lut_spec = pl.BlockSpec((2, 256), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        kernel = functools.partial(_sample_pack_units_kernel, tpm=tpm,
+                                   chroma_wrap=chroma_wrap)
+    units, ulens = pl.pallas_call(
+        kernel,
+        grid=(N // tile,),
+        in_specs=[spec64, spec_meta, q_spec(), q_spec(),
+                  const((LANE, LANE)), const((LANE, LANE)),
+                  const((LANE, LANE)), const((8, LANE)),
+                  lut_spec],
+        out_specs=(
+            pl.BlockSpec((tile // 4, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            spec_ulen,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N // 4, LANE), jnp.uint32),
+            jax.ShapeDtypeStruct((N // 4 // mw2, mw2), jnp.int32),
+        ),
+    )(samples.astype(jnp.int8), meta,
+      iquant2.astype(jnp.int32), ibias2.astype(jnp.int32),
+      jnp.asarray(A), jnp.asarray(PCB), jnp.asarray(POZZ),
+      jnp.asarray(KV), ac_luts.astype(jnp.uint32))
+    return units, ulens
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "tiles_per_img",

@@ -416,17 +416,25 @@ def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int,
         bit_lens = jnp.pad(bit_lens.reshape(n_images, per_img),
                            ((0, 0), (0, pad))).reshape(-1)
 
-    units = words
+    out, totals = _run_tree(words, bit_lens.astype(jnp.int32), W,
+                            n_images, bucket, sliced, sliced_min_units,
+                            level=0, max_bits=W * 32)
+    return out, totals
+
+
+def _run_tree(units, lens, w: int, n_images: int, bucket: int,
+              sliced: bool, sliced_min_units: int, level: int,
+              max_bits: int):
+    """The merge-tree level loop + finisher over per-image pow2-padded
+    units ([n_units, w] left-aligned, [n_units] exact bit lens; `level`
+    counts block-level tree levels already consumed upstream, `max_bits`
+    bounds any entering unit's exact length)."""
     # lens carrier: 1-D [n_units] (carrier_mw == 0) or lane-packed
     # [n_units/carrier_mw, carrier_mw]; both flatten to unit order for
     # free (row-major bitcasts), so transitions between the packed and
     # legacy level kernels never relayout big arrays
-    lens = bit_lens.astype(jnp.int32)
     carrier_mw = 0
-    w = W
-    n_units = n_images * u
-    level = 0
-    max_bits = W * 32                # upper bound on any unit's bit count
+    n_units = units.shape[0]
     overflow = jnp.zeros((n_images,), jnp.bool_)
     while n_units > n_images:
         per = n_units // n_images                    # units per image
@@ -493,3 +501,35 @@ def concat_block_streams_tree(words, bit_lens, n_images: int, bucket: int,
                                     n_images, bucket)
     totals = jnp.where(overflow, jnp.int32(0x7FFFFFFF), totals)
     return out, totals
+
+
+@functools.partial(jax.jit, static_argnames=("n_images", "bucket",
+                                             "sliced", "sliced_min_units"))
+def concat_units_tree(units, ulens_packed, n_images: int, bucket: int,
+                      sliced: bool = True,
+                      sliced_min_units: int = SLICED_MIN_UNITS):
+    """Tree concat entry for pre-merged 4-block units (the fused pack
+    kernel's sample_vlc_pack_units_pallas output): [U, 128] uint32 units
+    + lane-packed [U/mw, mw] int32 exact unit lens -> the same
+    ([n_images, bucket], [n_images] totals) contract as
+    concat_block_streams_tree.  Units whose exact length exceeds the
+    128-word frame were truncated by the kernel; their images flag as
+    INT32_MAX exactly like a sliced-level overflow."""
+    U, W2 = units.shape
+    assert W2 == 2 * WORDS
+    lens = ulens_packed.reshape(-1).astype(jnp.int32)[:U]
+    per_u = U // n_images
+    overflow = (lens.reshape(n_images, per_u) > W2 * 32).any(axis=1)
+    u2 = 1 << max(per_u - 1, 1).bit_length()
+    if u2 < per_u:
+        u2 <<= 1
+    pad = u2 - per_u
+    if pad:
+        units = jnp.pad(units.reshape(n_images, per_u, W2),
+                        ((0, 0), (0, pad), (0, 0))).reshape(-1, W2)
+        lens = jnp.pad(lens.reshape(n_images, per_u),
+                       ((0, 0), (0, pad))).reshape(-1)
+    out, totals = _run_tree(units, lens, W2, n_images, bucket, sliced,
+                            sliced_min_units, level=1,
+                            max_bits=4 * WORDS * 32)
+    return out, jnp.where(overflow, jnp.int32(0x7FFFFFFF), totals)

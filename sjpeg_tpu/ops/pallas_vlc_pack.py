@@ -415,13 +415,21 @@ class _DropLead:
 def meta_split(meta_ref, tpm, R):
     """Kernel-side meta unpack: [2*tpm, mw] rows -> ([2R, 1] packed DC
     column, [R, 128] luma-group mask)."""
+    mdc, grp0, _ = meta_split_pad(meta_ref, tpm, R)
+    return mdc, grp0
+
+
+def meta_split_pad(meta_ref, tpm, R):
+    """meta_split plus the [2R, 1] pad-block column (group values >= 2
+    mark per-image padding rows; bit 0 keeps the luma/chroma table
+    group so the quantize/LUT selects stay two-way)."""
     mdc = cols_from_lanes(meta_ref[0:tpm])          # [2R, 1]
     grp = cols_from_lanes(meta_ref[tpm:2 * tpm])
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
     # select in the int domain, compare after: a select over i1 vectors
     # lowers to an i8->i1 trunci Mosaic can't compile at tile shapes
-    grp0 = jnp.where(lane < 64, grp[:R], grp[R:]) == 0
-    return mdc, grp0
+    grp0 = (jnp.where(lane < 64, grp[:R], grp[R:]) & 1) == 0
+    return mdc, grp0, grp >= 2
 
 
 def _vlc_pack_kernel(run_ref, size_ref, code_ref, meta_ref,

@@ -812,3 +812,65 @@ def test_pallas_finisher_matches_xla_scan_interpret(rng):
             pl.pallas_call = orig
         np.testing.assert_array_equal(np.asarray(wt), np.asarray(gt))
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_pallas_units_kernel_matches_tree_interpret(rng):
+    """Fused pack+first-two-merge-levels kernel + concat_units_tree
+    (interpret mode) == the plain sample kernel + full block tree, incl.
+    per-image pad blocks (group=2) and multi-image batches."""
+    from jax.experimental import pallas as pl
+    from sjpeg_tpu.engine import (_device_luts, _interleave_samples,
+                                  _quant_device_arrays)
+    from sjpeg_tpu.huffman import k3_default_tables
+    from sjpeg_tpu.ops import pallas_quant_pack as pqp
+    from sjpeg_tpu.ops import pallas_tree_concat as ptc
+    from sjpeg_tpu.params import quant_matrices_for_quality
+
+    B, n_mcu, nb = 2, 10, (4, 1, 1)       # 60 blocks/img
+    tile = 16
+    qmats = quant_matrices_for_quality(75.0)
+    qm = [spec.finalize_quant_matrix(qmats[i], np.ones(64, np.uint8),
+                                     C.DEFAULT_BIAS) for i in range(2)]
+    iq, ib = _quant_device_arrays(qm)
+    dc_luts, ac_luts = _device_luts(k3_default_tables())
+
+    blocks = [jnp.asarray(rng.randint(-128, 128,
+                                      (B * n_mcu * n, 64)).astype(np.int32))
+              for n in nb]
+    sinter, dc2, group2 = _interleave_samples(blocks, iq, ib, nb, B)
+    per_img = group2.shape[0] // B
+    padded = -(-per_img // tile) * tile
+    pad = padded - per_img
+
+    def padrows(x, gval=0):
+        x2 = x.reshape((B, per_img) + x.shape[1:])
+        cfg = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x2, cfg, constant_values=gval).reshape(
+            (-1,) + x.shape[1:])
+
+    bucket = 4096
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        want_w, want_t = pqp.sample_vlc_pack_pallas.__wrapped__(
+            sinter, dc2, group2, iq, ib, dc_luts, ac_luts, tile=tile)
+        want_o, want_tot = ptc.concat_block_streams_tree.__wrapped__(
+            want_w, want_t, n_images=B, bucket=bucket)
+        units, ulens = pqp.sample_vlc_pack_units_pallas.__wrapped__(
+            padrows(sinter), padrows(dc2), padrows(group2, 2),
+            iq, ib, dc_luts, ac_luts, tile=tile)
+        got_o, got_tot = ptc.concat_units_tree.__wrapped__(
+            units, ulens, n_images=B, bucket=bucket)
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(got_tot), np.asarray(want_tot))
+    for b in range(B):
+        nw = (int(want_tot[b]) + 31) // 32
+        np.testing.assert_array_equal(np.asarray(got_o)[b, :nw],
+                                      np.asarray(want_o)[b, :nw])
