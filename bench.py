@@ -128,11 +128,12 @@ def slope_time(run, reps=8, trials=3):
     return est[len(est) // 2], est[-1] - est[0]
 
 
-def sustained_rate(rgb, param, k=5, depth=2):
+def sustained_rate(rgb, param, k=6, depth=4):
     """Steady-state Mpx/s through engine.encode_pipelined: k distinct
     pre-uploaded batches, `depth` in flight, so one batch's result fetch
-    + host assembly overlaps the next batch's device work (VERDICT r3
-    item 4: the double-buffered answer to the tunnel-fetch asterisk)."""
+    + host assembly overlaps the next batch's device work.  depth=4
+    measured best through the dev tunnel (per-RPC latency needs several
+    batches in flight to hide; a co-located host saturates at 2)."""
     import jax
     from sjpeg_tpu.engine import encode_batch, encode_pipelined
     h, w = rgb.shape[:2]

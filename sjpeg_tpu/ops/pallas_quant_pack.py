@@ -147,35 +147,44 @@ def _decode_chroma_wrap(xp, grp0):
     return jnp.where(jnp.logical_not(grp0) & (xp == -128), 128, xp)
 
 
+# In-kernel fold levels: 16-block units leave the pack kernel, with the
+# tree's sliced level-0/1 truncation invariants (4 blocks <= 4096 bits
+# after fold 2, 16 blocks <= 8192 bits after fold 4 — an overflowing
+# unit's exact length still reports and flags its image).
+FOLD_LEVELS = 4
+# unit width and truncation cap per fold round (merge frame -> kept)
+_FOLD_WIDTHS = (64, 128, 128, 256, 256)
+
+
 def _fold_merge_units(words, total, pad_col):
-    """In-kernel first two concat levels: [T, 64] per-block streams ->
-    [T/4, 128] 4-block units + [T/4, 1] exact unit bit lengths.
+    """In-kernel first FOLD_LEVELS concat levels: [T, 64] per-block
+    streams -> [T/2^L, 256] 16-block units + [T/2^L, 1] exact unit bit
+    lengths.
 
     The caller permuted the tile's block rows (fold order, see
-    `fold_permute_rows`), so two successive half-concat folds put
-    scan-consecutive blocks side by side; two _merge2 rounds then splice
-    them at exact bit offsets.  The 256-word level-1 frame truncates to
-    128 words — same invariant (and same overflow threshold, 4096 bits)
-    as the tree's sliced level 0, which this replaces along with its
-    ~150 MB/batch HBM round trip.  Pad blocks (marked group >= 2)
-    zeroed here so they merge as no-ops."""
+    `fold_permute_rows`), so successive half-concat folds put
+    scan-consecutive streams side by side; each _merge2 round splices
+    them at exact bit offsets in VMEM.  Replaces the tree's first four
+    levels along with the ~150 MB/batch per-block stream round trip.
+    Pad blocks (marked group >= 2) zeroed here so they merge as
+    no-ops."""
     from . import pallas_tree_concat as ptc
-    T = words.shape[0]
     total = jnp.where(pad_col, 0, total)
     words = jnp.where(jnp.broadcast_to(pad_col, words.shape),
                       jnp.uint32(0), words)
-    y = jnp.concatenate([words[:T // 2], words[T // 2:]], axis=1)
-    ly = jnp.concatenate([total[:T // 2], total[T // 2:]], axis=1)
-    la = jax.lax.slice_in_dim(ly, 0, 1, axis=1)
-    m = ptc._merge2(y, la, 64)                       # [T/2, 128]
-    lm = la + jax.lax.slice_in_dim(ly, 1, 2, axis=1)
-    z = jnp.concatenate([m[:T // 4], m[T // 4:]], axis=1)
-    lz = jnp.concatenate([lm[:T // 4], lm[T // 4:]], axis=1)
-    la2 = jax.lax.slice_in_dim(lz, 0, 1, axis=1)
-    u2 = ptc._merge2(z, la2, 128)                    # [T/4, 256]
-    units = jax.lax.slice_in_dim(u2, 0, 128, axis=1)
-    ulen = la2 + jax.lax.slice_in_dim(lz, 1, 2, axis=1)
-    return units, ulen
+    u, lu = words, total
+    for j in range(FOLD_LEVELS):
+        w_in = _FOLD_WIDTHS[j]
+        w_out = _FOLD_WIDTHS[j + 1]
+        M = u.shape[0]
+        y = jnp.concatenate([u[:M // 2], u[M // 2:]], axis=1)
+        ly = jnp.concatenate([lu[:M // 2], lu[M // 2:]], axis=1)
+        la = jax.lax.slice_in_dim(ly, 0, 1, axis=1)
+        m = ptc._merge2(y, la, w_in)                 # [M/2, 2*w_in]
+        u = (m if w_out == 2 * w_in
+             else jax.lax.slice_in_dim(m, 0, w_out, axis=1))
+        lu = la + jax.lax.slice_in_dim(ly, 1, 2, axis=1)
+    return u, lu
 
 
 def _sample_pack_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
@@ -244,19 +253,24 @@ def _sample_pack_units_kernel(x_ref, meta_ref, iquant_ref, ibias_ref,
     ulen_ref[:] = lanes_from_cols(ulen, ulen_ref.shape[1])
 
 
-def fold_permute_rows(x, tile: int):
+def _bitrev_perm(levels: int):
+    n = 1 << levels
+    return np.asarray([int(format(p, f"0{levels}b")[::-1], 2)
+                       for p in range(n)])
+
+
+def fold_permute_rows(x, tile: int, levels: int = FOLD_LEVELS):
     """Scan-order block rows -> the in-tile fold order the units kernel
-    needs: two successive half-concat folds of a tile's rows then yield
-    scan-consecutive 4-block groups (input row q + (tile/4) * p holds
-    scan block 4q + bitrev2(p); XLA glue, one gather per program)."""
+    needs: `levels` successive half-concat folds of a tile's rows then
+    yield scan-consecutive 2^levels-block groups (input row
+    q + (tile / 2^L) * p holds scan block 2^L q + bitrev_L(p); XLA
+    glue, fused into the preceding interleave copy)."""
     nt = x.shape[0] // tile
-    xr = x.reshape((nt, tile // 4, 4) + x.shape[1:])
-    xr = xr[:, :, np.asarray((0, 2, 1, 3))]
+    n = 1 << levels
+    xr = x.reshape((nt, tile // n, n) + x.shape[1:])
+    xr = xr[:, :, _bitrev_perm(levels)]
     xr = jnp.swapaxes(xr, 1, 2)
     return xr.reshape((-1,) + x.shape[1:])
-
-
-ULEN_MW = 32
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "tiles_per_img",
@@ -272,15 +286,16 @@ def sample_vlc_pack_units_pallas(samples, dc_codes, group, iquant2,
     - N must be a whole number of tiles and per-IMAGE block counts whole
       tiles too (callers pad each image's rows and mark pad blocks with
       group >= 2, which the kernel zeroes before merging);
-    - returns ([N/4, 128] uint32 left-aligned 4-block units,
-      [N/4 / mw, mw] int32 lane-packed exact unit bit lengths) feeding
-      pallas_tree_concat.concat_units_tree.  A unit whose content
-      exceeds the 128-word frame is truncated; its exact length still
-      reports, and the concat flags the image for the engine's
-      overflow fallback (threshold 4096 bits = the tree's sliced
-      level-0 invariant)."""
+    - returns ([N/2^L, 256] uint32 left-aligned 16-block units,
+      [N/2^L / mw, mw] int32 lane-packed exact unit bit lengths)
+      feeding pallas_tree_concat.concat_units_tree.  A unit whose
+      content exceeds its truncated frame reports its exact length
+      anyway, and the concat flags the image for the engine's overflow
+      fallback (thresholds 4096/8192 bits = the tree's sliced
+      level-0/1 invariants)."""
     N = samples.shape[0]
-    assert N % tile == 0 and N % (4 * ULEN_MW) == 0
+    n_fold = 1 << FOLD_LEVELS
+    assert N % tile == 0 and tile % n_fold == 0
     samples = fold_permute_rows(samples, tile)
     dc_codes = fold_permute_rows(dc_codes, tile)
     group = fold_permute_rows(group, tile)
@@ -290,7 +305,9 @@ def sample_vlc_pack_units_pallas(samples, dc_codes, group, iquant2,
     ibias2 = _tile_lanes(_to_zigzag_lanes(ibias2))
     mw = 64 if tile % 512 == 0 else tile
     tpm = tile // mw
-    mw2 = ULEN_MW if tile % 512 == 0 else tile // 4
+    units_per_tile = tile // n_fold
+    mw2 = 8 if tile % 512 == 0 else units_per_tile
+    uw = _FOLD_WIDTHS[FOLD_LEVELS]
     n_images = dc_luts.shape[0] if dc_luts.ndim == 3 else 1
     meta = build_meta_rows(dc_codes, group, dc_luts, tile, mw, n_images)
 
@@ -298,8 +315,8 @@ def sample_vlc_pack_units_pallas(samples, dc_codes, group, iquant2,
                           memory_space=pltpu.VMEM)
     spec_meta = pl.BlockSpec((2 * tpm, mw), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    spec_ulen = pl.BlockSpec((tile // 4 // mw2, mw2), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
+    spec_ulen = pl.BlockSpec((units_per_tile // mw2, mw2),
+                             lambda i: (i, 0), memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     if tiles_per_img:
@@ -328,13 +345,13 @@ def sample_vlc_pack_units_pallas(samples, dc_codes, group, iquant2,
                   const((LANE, LANE)), const((8, LANE)),
                   lut_spec],
         out_specs=(
-            pl.BlockSpec((tile // 4, LANE), lambda i: (i, 0),
+            pl.BlockSpec((units_per_tile, uw), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             spec_ulen,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((N // 4, LANE), jnp.uint32),
-            jax.ShapeDtypeStruct((N // 4 // mw2, mw2), jnp.int32),
+            jax.ShapeDtypeStruct((N // n_fold, uw), jnp.uint32),
+            jax.ShapeDtypeStruct((N // n_fold // mw2, mw2), jnp.int32),
         ),
     )(samples.astype(jnp.int8), meta,
       iquant2.astype(jnp.int32), ibias2.astype(jnp.int32),

@@ -508,15 +508,18 @@ def _run_tree(units, lens, w: int, n_images: int, bucket: int,
 def concat_units_tree(units, ulens_packed, n_images: int, bucket: int,
                       sliced: bool = True,
                       sliced_min_units: int = SLICED_MIN_UNITS):
-    """Tree concat entry for pre-merged 4-block units (the fused pack
-    kernel's sample_vlc_pack_units_pallas output): [U, 128] uint32 units
+    """Tree concat entry for pre-merged multi-block units (the fused
+    pack kernel's sample_vlc_pack_units_pallas output): [U, uw] units
     + lane-packed [U/mw, mw] int32 exact unit lens -> the same
     ([n_images, bucket], [n_images] totals) contract as
-    concat_block_streams_tree.  Units whose exact length exceeds the
-    128-word frame were truncated by the kernel; their images flag as
-    INT32_MAX exactly like a sliced-level overflow."""
+    concat_block_streams_tree.  Units whose exact length exceeds their
+    truncated frame flag their image as INT32_MAX exactly like a
+    sliced-level overflow.  Unit width 128 = 4-block units (one fused
+    tree level consumed), 256 = 16-block units (two)."""
     U, W2 = units.shape
-    assert W2 == 2 * WORDS
+    assert W2 in (2 * WORDS, 4 * WORDS)
+    levels_done = 1 if W2 == 2 * WORDS else 2
+    blocks_per_unit = 4 if W2 == 2 * WORDS else 16
     lens = ulens_packed.reshape(-1).astype(jnp.int32)[:U]
     per_u = U // n_images
     overflow = (lens.reshape(n_images, per_u) > W2 * 32).any(axis=1)
@@ -530,6 +533,6 @@ def concat_units_tree(units, ulens_packed, n_images: int, bucket: int,
         lens = jnp.pad(lens.reshape(n_images, per_u),
                        ((0, 0), (0, pad))).reshape(-1)
     out, totals = _run_tree(units, lens, W2, n_images, bucket, sliced,
-                            sliced_min_units, level=1,
-                            max_bits=4 * WORDS * 32)
+                            sliced_min_units, level=levels_done,
+                            max_bits=blocks_per_unit * WORDS * 32)
     return out, jnp.where(overflow, jnp.int32(0x7FFFFFFF), totals)

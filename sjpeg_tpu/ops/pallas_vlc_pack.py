@@ -211,22 +211,26 @@ def _split_entries(vals, lens, offs):
     return hi, lo, offs >> 5
 
 
-def _pack_words(T, wmax, sym_f, esc_thunk, any_esc, eob_f):
+def _pack_words(T, wmax, sym_f, esc_thunk, any_esc, eob_f,
+                esc_bounds=None):
     """Predicated-reduction word pack over one-block rows.
 
     sym_f: (hi, lo, q) [T, 64] triples for the symbol entries;
     esc_thunk: nullary returning the escape-field triples (traced only
-    inside the cond); eob_f: (hi, lo, q) [T, 1] for the EOB entry.
+    inside the cond); eob_f: (hi, lo, q) [T, 1] for the EOB entry;
+    esc_bounds: optional (lo, hi) scalar word window containing every
+    escape entry in the tile (escapes are rare AND clustered, so their
+    pass scans a few words instead of wmax).
     """
     lane64u = jax.lax.broadcasted_iota(jnp.int32, (T, WORDS), 1)
 
-    def word_loop(fields, init):
+    def word_loop(fields, init, lo=0, hi=None):
         # fold every entry's straddling halves into one lane-doubled
         # array (the lo half targets word q+1), so each word iteration is
         # a single masked reduce instead of two per field
         vals, qs = [], []
-        for hi, lo, q in fields:
-            vals.extend((hi, lo))
+        for hi_f, lo_f, q in fields:
+            vals.extend((hi_f, lo_f))
             qs.extend((q, q + 1))
         v2 = jnp.concatenate(vals, axis=1)
         q2 = jnp.concatenate(qs, axis=1)
@@ -238,14 +242,18 @@ def _pack_words(T, wmax, sym_f, esc_thunk, any_esc, eob_f):
                                          0).astype(jnp.uint32)
 
         # dynamic bound: only words below the tile's longest stream
-        return jax.lax.fori_loop(0, wmax, word_step, init)
+        return jax.lax.fori_loop(lo, wmax if hi is None else hi,
+                                 word_step, init)
 
     words = word_loop([sym_f], jnp.zeros((T, WORDS), jnp.uint32))
 
     # escape runs (>= 16 zeros) are rare: fold their two fields in only
     # when the tile contains any, halving the word loop on typical tiles
+    e_lo, e_hi = ((jnp.int32(0), None) if esc_bounds is None
+                  else esc_bounds)
     words = jax.lax.cond(
-        any_esc, lambda ws: word_loop(list(esc_thunk()), ws),
+        any_esc,
+        lambda ws: word_loop(list(esc_thunk()), ws, e_lo, e_hi),
         lambda ws: ws, words)
 
     # EOB: exactly one right-aligned entry per block at a known offset —
@@ -397,8 +405,14 @@ def paired_fields_to_words(run, size, code, nz, mdc, grp0, ac_lut_ref):
     )
     eob_f = _split_entries(eob_val, eob_len, total_no_eob)
     wmax = (jnp.max(total) + 31) >> 5
-    words = _pack_words(T, wmax, sym_f, esc_thunk,
-                        jnp.any(n_esc > 0), eob_f)
+    has_esc = n_esc > 0
+    esc_end = jnp.max(jnp.where(has_esc, (es_off + es_len) >> 5, 0)) + 2
+    esc_lo = jnp.minimum(
+        jnp.min(jnp.where(has_esc, ep_off >> 5, jnp.int32(0x7FFFFFFF))),
+        wmax)
+    words = _pack_words(T, wmax, sym_f, esc_thunk, jnp.any(has_esc),
+                        eob_f, esc_bounds=(esc_lo,
+                                           jnp.minimum(esc_end, wmax + 1)))
     return words, total
 
 
