@@ -172,10 +172,22 @@ def _trellis_kernel(packa_ref, packb_ref, lam_ref, disto_ref, d_ref,
 
         return fwd
 
-    jax.lax.fori_loop(1, 16, make_fwd(96), 0)
-    jax.lax.fori_loop(16, 32, make_fwd(64), 0)
-    jax.lax.fori_loop(32, 48, make_fwd(32), 0)
-    jax.lax.fori_loop(48, 64, make_fwd(0), 0)
+    # Data-dependent step bound: positions past the tile's last nonzero
+    # quantized coefficient create no nodes (their pl.when bodies would
+    # skip), so the tier loops stop at imax + 1 — typical q75 tiles top
+    # out around position 25-45, nearly halving the sequential DP.
+    av = packa_ref[:, :] & 0x7FF
+    colmax = jnp.max(av, axis=1, keepdims=True)            # [64, 1]
+    imax = jnp.max(jnp.where(colmax > 0, jcol, 0))
+    ub = imax + 1
+
+    def clamp(lo, hi):
+        return jnp.minimum(jnp.maximum(ub, lo), hi)
+
+    jax.lax.fori_loop(1, clamp(1, 16), make_fwd(96), 0)
+    jax.lax.fori_loop(16, clamp(16, 32), make_fwd(64), 0)
+    jax.lax.fori_loop(32, clamp(32, 48), make_fwd(32), 0)
+    jax.lax.fori_loop(48, clamp(48, 64), make_fwd(0), 0)
 
     # --- best end node -------------------------------------------------
     d63 = _row(disto_ref, 63)
@@ -196,7 +208,8 @@ def _trellis_kernel(packa_ref, packb_ref, lam_ref, disto_ref, d_ref,
             act & (jcol == p), lvl, 0)
         return jnp.where(act, nxt, cur)
 
-    jax.lax.fori_loop(0, 63, back, cur)
+    # positions strictly decrease along prev links, so <= imax hops
+    jax.lax.fori_loop(0, imax, back, cur)
 
 
 _ZZ = tuple(int(v) for v in C.ZIGZAG)
