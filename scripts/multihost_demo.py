@@ -55,12 +55,15 @@ def run_worker(args):
         init_distributed(coordinator_address=args.coordinator,
                          num_processes=args.nproc, process_id=args.pid)
     pid = jax.process_index()
-    mesh = make_mesh()              # dp = processes, sp = local devices
+    mesh = (make_mesh(dp=args.dp) if args.dp
+            else make_mesh())       # dp = processes, sp = local devices
     imgs = np.stack([make_image(pid, j, args.height, args.width)
                      for j in range(args.batch)])
     param = EncoderParam(quality=args.quality, yuv_mode=C.YUV_420,
                          huffman_compress=args.method >= 1,
                          adaptive_quantization=args.method >= 3)
+    if args.target_size:
+        param.set_target_size(args.target_size, passes=args.passes)
     jpegs = encode_batch_sharded(imgs, param, mesh=mesh)
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -87,7 +90,9 @@ def run_launcher(args):
                "--outdir", args.outdir, "--batch", str(args.batch),
                "--height", str(args.height), "--width", str(args.width),
                "--method", str(args.method), "--quality",
-               str(args.quality)]
+               str(args.quality), "--target-size",
+               str(args.target_size), "--passes", str(args.passes),
+               "--dp", str(args.dp)]
         procs.append(subprocess.Popen(cmd, env=env_base, cwd=REPO))
     rc = 0
     for p in procs:
@@ -106,6 +111,8 @@ def run_launcher(args):
     param = EncoderParam(quality=args.quality, yuv_mode=C.YUV_420,
                          huffman_compress=args.method >= 1,
                          adaptive_quantization=args.method >= 3)
+    if args.target_size:
+        param.set_target_size(args.target_size, passes=args.passes)
     n_ok = 0
     for pid in range(args.nproc):
         for j in range(args.batch):
@@ -137,6 +144,11 @@ def main():
     ap.add_argument("--width", type=int, default=32)
     ap.add_argument("--method", type=int, default=4)
     ap.add_argument("--quality", type=int, default=80)
+    ap.add_argument("--target-size", type=int, default=0,
+                    help="run a target-size dichotomy (bytes)")
+    ap.add_argument("--passes", type=int, default=4)
+    ap.add_argument("--dp", type=int, default=0,
+                    help="override mesh dp (0 = one per process)")
     args = ap.parse_args()
     if args.worker:
         run_worker(args)

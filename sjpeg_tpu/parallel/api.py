@@ -92,6 +92,8 @@ def _stripe_quantize(coeffs, iq, ib, nb_blocks, b_l: int, qq=None,
     quantizer instead of the plain bias quantizer (methods 7/8; stripes
     are block-independent, so the trellis shards trivially — the DC rule
     is the plain quantizer either way, src/enc.cc:763-766).
+    `trellis_lens` is [2, 256] shared, or [B_l, 2, 256] per image (a
+    sharded dichotomy's evolving rate tables, src/dichotomy.cc:83-104).
     Returns (rl, dc_codes, group) over the local flat block axis.
     """
     from ..ops import trellis as trellis_ops
@@ -100,7 +102,15 @@ def _stripe_quantize(coeffs, iq, ib, nb_blocks, b_l: int, qq=None,
     n_mcu = coeffs[0].shape[1] // nb_blocks[0]
     for c, coef in enumerate(coeffs):
         g = 0 if c == 0 else 1
-        if trellis_lens is not None:
+        if trellis_lens is not None and trellis_lens.ndim == 3:
+            cimg = coef.reshape(b_l, -1, 64)
+            grp = jnp.full(cimg.shape[1], g, jnp.int32)
+            qb = jnp.concatenate([
+                trellis_ops.trellis_quantize_matrices_inline(
+                    cimg[i], iq[i], ib[i], qq[i], grp,
+                    trellis_lens[i], 1)
+                for i in range(b_l)], axis=0)
+        elif trellis_lens is not None:
             cflat = coef.reshape(-1, 64)
             grp = jnp.full(cflat.shape[0], g, jnp.int32)
             qb = trellis_ops.trellis_quantize_matrices_inline(
@@ -128,7 +138,8 @@ def _build_stages(mesh, yuv_mode: int, width: int, height: int,
                   nb_blocks, b: int, with_histo: bool, with_stats: bool,
                   per_image_tables: bool, bucket: int,
                   rows_per_stripe: int, ragged: bool, sub_h_partial: int,
-                  use_trellis: bool = False):
+                  use_trellis: bool = False, src_kind: str = "rgb",
+                  trellis_lens_arg: bool = False):
     """The three jitted shard_map stage programs.
 
     Ragged geometry (image MCU rows not divisible by sp, and/or a partial
@@ -160,9 +171,13 @@ def _build_stages(mesh, yuv_mode: int, width: int, height: int,
                           dtype=jnp.int32) // per_row
         return jnp.tile(rowi < v, b_l)
 
-    def coeffs_shard(rgb, vrows, crow):
-        blocks = list(colorspace.rgb_to_blocks(rgb, yuv_mode, width,
-                                               stripe_h))
+    def coeffs_shard(src, vrows, crow):
+        if src_kind == "planes":
+            blocks = list(colorspace.planes_to_blocks(
+                src, yuv_mode, width, stripe_h))
+        else:
+            blocks = list(colorspace.rgb_to_blocks(src, yuv_mode, width,
+                                                   stripe_h))
         if ragged and yuv_mode == C.YUV_420 and sub_h_partial:
             # the image's partial MCU row lands at a stripe-local index
             # known only per shard: apply the AverageExtraLuma flatten
@@ -190,17 +205,25 @@ def _build_stages(mesh, yuv_mode: int, width: int, height: int,
     cspec = tuple(P("dp", "sp", None) for _ in range(n_comps))
     coeffs_out = cspec + ((P("dp"), P("dp")) if with_histo else ())
     sspec = P("sp")
+    src_spec = (tuple(P("dp", "sp") for _ in range(n_comps))
+                if src_kind == "planes" else P("dp", "sp"))
     stage_coeffs = jax.jit(_shard_map(
-        coeffs_shard, mesh, in_specs=(P("dp", "sp"), sspec, sspec),
+        coeffs_shard, mesh, in_specs=(src_spec, sspec, sspec),
         out_specs=coeffs_out))
 
     trellis_lens = (jnp.asarray(engine._trellis_cost_lens())
-                    if use_trellis else None)
+                    if use_trellis and not trellis_lens_arg else None)
+
+    def quant_shard_lens(coeffs, iq, ib, qq, lens, vrows):
+        return quant_body(coeffs, iq, ib, qq, lens, vrows)
 
     def quant_shard(coeffs, iq, ib, qq, vrows):
+        return quant_body(coeffs, iq, ib, qq, trellis_lens, vrows)
+
+    def quant_body(coeffs, iq, ib, qq, lens, vrows):
         rl, dc_codes, group = _stripe_quantize(
             list(coeffs), iq, ib, tuple(nb_blocks), b_l,
-            qq=qq if use_trellis else None, trellis_lens=trellis_lens)
+            qq=qq if use_trellis else None, trellis_lens=lens)
         per_l = dc_codes.shape[0] // b_l
         out = ({k: v.reshape(b_l, per_l, -1) for k, v in rl.items()},
                dc_codes.reshape(b_l, per_l),
@@ -218,10 +241,16 @@ def _build_stages(mesh, yuv_mode: int, width: int, height: int,
                 for k in ("nz", "run", "size", "code", "last")},
                P("dp", "sp"), P("dp", "sp"))
     qout = (st_spec, P("dp"), P("dp")) if with_stats else st_spec
-    stage_quant = jax.jit(_shard_map(
-        quant_shard, mesh,
-        in_specs=(cspec, P("dp"), P("dp"), P("dp"), sspec),
-        out_specs=qout))
+    if trellis_lens_arg:
+        stage_quant = jax.jit(_shard_map(
+            quant_shard_lens, mesh,
+            in_specs=(cspec, P("dp"), P("dp"), P("dp"), P("dp"), sspec),
+            out_specs=qout))
+    else:
+        stage_quant = jax.jit(_shard_map(
+            quant_shard, mesh,
+            in_specs=(cspec, P("dp"), P("dp"), P("dp"), sspec),
+            out_specs=qout))
 
     def pack_shard(state, dc_luts, ac_luts, vrows):
         rl, dc_codes, group = state
@@ -242,6 +271,34 @@ def _build_stages(mesh, yuv_mode: int, width: int, height: int,
         in_specs=(st_spec, lut_spec, lut_spec, sspec),
         out_specs=(P("dp", "sp", None), P("dp", "sp"))))
     return stage_coeffs, stage_quant, stage_pack
+
+
+def _make_sharp_stage(mesh, w: int, h: int, h_pad: int):
+    """Sharded sharp-YUV conversion: each dp shard runs the iterative
+    RGB->YUV420 refinement (sharp_yuv_device._sharp_core, bit-identical
+    to the unsharded engine's) over its local images, then edge-pads the
+    planes to whole stripes for the planes-in coeffs stage.  The sp axis
+    replicates the conversion (images are the parallel unit; the
+    refinement's row recurrence would need a 2-row halo exchange per
+    iteration to stripe, for no wall-clock gain at these batch sizes)."""
+    from .. import sharp_yuv_device
+    core = functools.partial(sharp_yuv_device._sharp_core,
+                             width=w, height=h)
+
+    def conv_shard(rgb):
+        y, u, v = jax.vmap(core)(rgb)
+
+        def padp(p, target):
+            d = target - p.shape[1]
+            return p if d <= 0 else jnp.pad(
+                p, ((0, 0), (0, d), (0, 0)), mode="edge")
+
+        return (padp(y, h_pad), padp(u, h_pad // 2),
+                padp(v, h_pad // 2))
+
+    return jax.jit(_shard_map(
+        conv_shard, mesh, in_specs=(P("dp"),),
+        out_specs=(P("dp"), P("dp"), P("dp"))))
 
 
 @functools.lru_cache(maxsize=8)
@@ -299,47 +356,85 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
         from .. import riskiness as host_risk
         if host_risk.exact_table_active():
             rn = np.asarray(rgbs)
-            modes = {host_risk.riskiness(rn[i])[0] for i in range(b)}
+            modes = [host_risk.riskiness(rn[i])[0] for i in range(b)]
         else:
             from ..ops import riskiness as dev_risk
             ss, cc, gg = jax.device_get(
                 dev_risk.risk_stats(jnp.asarray(rgbs)))
-            modes = {dev_risk.finish_riskiness(ss[i], cc[i], gg[i],
+            modes = [dev_risk.finish_riskiness(ss[i], cc[i], gg[i],
                                                w, h)[0]
-                     for i in range(b)}
-        if len(modes) > 1:
-            return engine.encode_batch(rgbs, param, bits_per_pixel_budget,
-                                       share_statistics)
-        yuv_mode = modes.pop()
+                     for i in range(b)]
+        groups = {}
+        for i, m in enumerate(modes):
+            groups.setdefault(m, []).append(i)
+        if len(groups) > 1:
+            # mixed AUTO decisions: each resolved-mode group runs as its
+            # own sharded sub-batch (reference per-image semantics,
+            # src/enc.cc:2132-2154; the dp-pad path absorbs ragged
+            # group sizes)
+            rn = np.asarray(rgbs)
+            out = [None] * b
+            for m, idxs in groups.items():
+                sub = np.ascontiguousarray(rn[idxs])
+                p2 = dataclasses.replace(param, yuv_mode=m)
+                res = encode_batch_sharded(sub, p2, mesh,
+                                           bits_per_pixel_budget,
+                                           share_statistics)
+                for j, i in enumerate(idxs):
+                    out[i] = res[j]
+            return out
+        yuv_mode = modes[0]
+    sharp = yuv_mode == C.YUV_SHARP
+    if sharp and min(w, h) <= 4:
+        # tiny-image simple path: not worth a mesh (reference
+        # ApplySharpYUVConversion small-image branch)
+        return engine.encode_batch(
+            rgbs, dataclasses.replace(param, yuv_mode=yuv_mode),
+            bits_per_pixel_budget, share_statistics)
     layout = pipeline.component_layout(
         yuv_mode if yuv_mode not in (C.YUV_SHARP, C.YUV_AUTO) else C.YUV_420,
         w, h)
     from ..params import TARGET_NONE
     search = param.passes > 1 and param.target_mode != TARGET_NONE
-    delegate = (yuv_mode in (C.YUV_SHARP, C.YUV_AUTO)
-                or (search and (param.search_hook is not None
-                                or flags["use_trellis"]))
-                or (b % dp != 0 and _multiproc()))
+    delegate = (yuv_mode == C.YUV_AUTO
+                or (search and param.search_hook is not None))
     if delegate:
         # param/shape-driven (process-consistent) fallback; under
         # multi-process each host encodes its local images unsharded
+        # (remaining delegates: multi-process AUTO, stateful custom
+        # search hooks, ragged multi-process batches)
         p2 = (param if yuv_mode == C.YUV_AUTO
               else dataclasses.replace(param, yuv_mode=yuv_mode))
         return engine.encode_batch(rgbs, p2, bits_per_pixel_budget,
                                    share_statistics)
 
     # ragged batch: pad to a dp multiple with copies of image 0 (their
-    # outputs are dropped); single-process only — multi-process ragged
-    # batches delegated above
+    # outputs are dropped).  Multi-process: each process pads its LOCAL
+    # rows by the same count (uniform b_local is the API contract), so
+    # the global batch stays dp-divisible without moving image data
+    # across hosts
     b_real_local = b_local
     rgbs_np = np.asarray(rgbs)
     if b % dp != 0:
-        pad_b = -(-b // dp) * dp - b
+        if _multiproc():
+            import math
+            step = dp // math.gcd(dp, n_proc)
+            pad_b = -(-b_local // step) * step - b_local
+        else:
+            pad_b = -(-b // dp) * dp - b
         rgbs_np = np.concatenate(
             [rgbs_np, np.broadcast_to(rgbs_np[:1],
                                       (pad_b,) + rgbs_np.shape[1:])])
-        b = b_local = b + pad_b
+        b_local = b_local + pad_b
+        b = b_local * (n_proc if _multiproc() else 1)
 
+    if search and sharp:
+        # sharp searches: the conversion shards but the search plumbing
+        # is rgb-in; keep the engine's byte-exact path for now
+        return engine.encode_batch(
+            rgbs_np[:b_real_local],
+            dataclasses.replace(param, yuv_mode=yuv_mode),
+            bits_per_pixel_budget, share_statistics)
     if search:
         # multi-pass dichotomy over the mesh (stripe-sharded passes,
         # device tables, one eval fetch per pass)
@@ -357,12 +452,15 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
 
     # ragged rows: stripes hold ceil(mb_h / sp) whole MCU rows; images are
     # edge-padded to sp full stripes and the padding rows masked out
-    mcu_h = 16 if yuv_mode == C.YUV_420 else 8
+    yuv_eff = C.YUV_420 if sharp else yuv_mode
+    mcu_h = layout.block_h
     rows_per_stripe = -(-layout.mb_h // sp)
     h_pad = rows_per_stripe * mcu_h * sp
     ragged = h_pad != h
     sub_h_partial = h - (layout.mb_h - 1) * mcu_h if h % mcu_h else 0
-    if h_pad != rgbs_np.shape[1]:
+    if h_pad != rgbs_np.shape[1] and not sharp:
+        # sharp keeps the original rows: the conversion consumes the
+        # full image and pads its output planes on device
         rgbs_np = np.pad(
             rgbs_np, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)),
             mode="edge")
@@ -380,13 +478,14 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
         not share_statistics or _multiproc())
 
     stage_coeffs, stage_quant, stage_pack = _build_stages(
-        mesh, yuv_mode, w, h, nb_blocks, b,
+        mesh, yuv_eff, w, h, nb_blocks, b,
         with_histo=flags["use_adaptive_quant"],
         with_stats=flags["optimize_size"],
         per_image_tables=per_image_tables, bucket=bucket,
         rows_per_stripe=rows_per_stripe, ragged=ragged,
         sub_h_partial=sub_h_partial,
-        use_trellis=flags["use_trellis"])
+        use_trellis=flags["use_trellis"],
+        src_kind="planes" if sharp else "rgb")
 
     def default_luts():
         dc0, ac0 = engine._host_luts(defaults)
@@ -400,7 +499,11 @@ def encode_batch_sharded(rgbs, param=None, mesh: Mesh = None,
     sp_sharding = NamedSharding(mesh, P("sp"))
     vrows_g = jax.device_put(vrows_np, sp_sharding)
     crow_g = jax.device_put(crow_np, sp_sharding)
-    batch_g = _global_dp(mesh, rgbs_np, P("dp", "sp"))
+    if sharp:
+        batch_g = _make_sharp_stage(mesh, w, h, h_pad)(
+            _global_dp(mesh, rgbs_np, P("dp")))
+    else:
+        batch_g = _global_dp(mesh, rgbs_np, P("dp", "sp"))
     outs = stage_coeffs(batch_g, vrows_g, crow_g)
     if flags["use_adaptive_quant"]:
         coeffs = outs[:layout.nb_comps]
@@ -599,15 +702,38 @@ def _encode_search_sharded(rgbs_np, param, mesh, yuv_mode, w, h,
                      max(1024, w * h * bits_per_pixel_budget / 32 / sp,
                          (tv * 2 * 8) / 32 / sp + 4096)))
 
+    trellis = flags["use_trellis"]
     stage_coeffs, stage_quant, stage_pack = _build_stages(
         mesh, yuv_mode, w, h, nb_blocks, b,
         with_histo=flags["use_adaptive_quant"],
         with_stats=flags["optimize_size"],
         per_image_tables=True, bucket=bucket,
         rows_per_stripe=rows_per_stripe, ragged=ragged,
-        sub_h_partial=sub_h_partial)
+        sub_h_partial=sub_h_partial,
+        use_trellis=trellis, trellis_lens_arg=trellis)
     stitch = _make_stitch(mesh)
     dp_sh = NamedSharding(mesh, P("dp"))
+
+    # per-image trellis rate-table state (methods 7/8): lens evolve on
+    # device exactly like the engine's batched search (reference
+    # persistent ac_codes_ across LoopScan passes,
+    # src/dichotomy.cc:83-85,144); lens_prev holds each image's
+    # last-executed-pass ENTRY state for last-pass-is-best reuse
+    if trellis:
+        base_lens = np.broadcast_to(
+            np.asarray(engine._trellis_cost_lens()),
+            (b_local, 2, 256)).astype(np.int32)
+        lens_dev = _global_dp(mesh, base_lens.copy())
+        lens_prev_dev = lens_dev
+        last_best = [False] * b_local
+
+        @jax.jit
+        def lens_update(lens, lens_prev, acl, upd):
+            upd3 = upd[:, None, None]
+            lens_prev = jnp.where(upd3, lens, lens_prev)
+            new = (acl & 0xFF).astype(jnp.int32)
+            lens = jnp.where(upd3 & (new > 0), new, lens)
+            return lens, lens_prev
 
     @functools.partial(jax.jit, out_shardings=(dp_sh, dp_sh, dp_sh))
     def luts_sharded(fdc, fac):
@@ -689,7 +815,16 @@ def _encode_search_sharded(rgbs_np, param, mesh, yuv_mode, w, h,
         iq, ib, qq = uploads(per_qms)
 
         if for_size:
-            if flags["optimize_size"]:
+            if trellis:
+                state, fdc, fac = stage_quant(tuple(coeffs), iq, ib, qq,
+                                              lens_dev, vrows_g)
+                dcl, acl, nbs_dev = luts_sharded(fdc, fac)
+                upd = _global_dp(mesh, np.asarray(
+                    [not (done[i] or overflow[i])
+                     for i in range(b_local)]))
+                lens_dev, lens_prev_dev = lens_update(
+                    lens_dev, lens_prev_dev, acl, upd)
+            elif flags["optimize_size"]:
                 state, fdc, fac = stage_quant(tuple(coeffs), iq, ib, qq,
                                               vrows_g)
                 dcl, acl, nbs_dev = luts_sharded(fdc, fac)
@@ -734,6 +869,8 @@ def _encode_search_sharded(rgbs_np, param, mesh, yuv_mode, w, h,
             hooks[i].pass_count = p
             result = results[i]
             is_best = p == 0 or abs(result - hooks[i].target) < best[i]
+            if trellis:
+                last_best[i] = is_best
             if is_best:
                 opt_qms[i] = [per_qms[i][0]["quant"].copy(),
                               per_qms[i][1]["quant"].copy()]
@@ -760,8 +897,19 @@ def _encode_search_sharded(rgbs_np, param, mesh, yuv_mode, w, h,
         hooks[i].q = best_q[i]
         hooks[i].value = best_result[i]
     iq, ib, qq = uploads(final_qms)
+    if trellis:
+        # best-pass == last-executed-pass reuses that pass's ENTRY rate
+        # tables (engine semantics; src/dichotomy.cc:144)
+        final_lens = (jnp.where(
+            _global_dp(mesh, np.asarray(last_best))[:, None, None],
+            lens_prev_dev, lens_dev) if for_size else lens_dev)
     if flags["optimize_size"]:
-        state, fdc, fac = stage_quant(tuple(coeffs), iq, ib, qq, vrows_g)
+        if trellis:
+            state, fdc, fac = stage_quant(tuple(coeffs), iq, ib, qq,
+                                          final_lens, vrows_g)
+        else:
+            state, fdc, fac = stage_quant(tuple(coeffs), iq, ib, qq,
+                                          vrows_g)
         fdc_np, _ = _fetch_dp(fdc)
         fac_np, _ = _fetch_dp(fac)
         per_tables = []

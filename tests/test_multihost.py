@@ -32,3 +32,22 @@ def test_multiprocess_dp_byte_identical(tmp_path, method, hh, ww, batch,
         cwd=REPO, capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "byte-identical to serial" in out.stdout, out.stdout + out.stderr
+
+
+@pytest.mark.parametrize("extra,port", [
+    # target-size dichotomy sharded across processes (the north-star
+    # batched-search config on the dp/DCN axis, src/dichotomy.cc:106-192)
+    (["--method", "4", "--target-size", "2500", "--passes", "4",
+      "--height", "48", "--width", "48", "--batch", "2"], 19895),
+    # ragged local batches (b_local=3 on a dp=4 mesh): per-process
+    # padding keeps the global batch dp-divisible, pad outputs dropped
+    (["--method", "1", "--height", "32", "--width", "32", "--batch", "3",
+      "--dp", "4"], 19897),
+])
+def test_multiprocess_search_and_ragged(tmp_path, extra, port):
+    out = subprocess.run(
+        [sys.executable, str(SCRIPT), "--outdir", str(tmp_path),
+         "--port", str(port), *extra],
+        cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "byte-identical to serial" in out.stdout, out.stdout + out.stderr

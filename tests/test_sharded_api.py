@@ -135,3 +135,60 @@ def test_sharded_search_byte_identical(target, m4):
     from sjpeg_tpu.engine import encode_rgb
     for i in range(len(imgs)):
         assert got[i] == encode_rgb(imgs[i], p), (target, m4, i)
+
+
+def test_sharded_sharp_byte_identical():
+    """Sharp YUV shards: mesh conversion (dp-parallel iterative
+    refinement) + planes-in stripe pipeline == the serial engine
+    (reference EncoderSharp420, src/enc.cc:2100-2127)."""
+    mesh = _mesh(2, 4)
+    imgs = _imgs(4, 128, 64, seed0=21)
+    p = EncoderParam(quality=75, yuv_mode=C.YUV_SHARP)
+    got = encode_batch_sharded(imgs, p, mesh=mesh)
+    from sjpeg_tpu.engine import encode_rgb
+    for i in range(len(imgs)):
+        assert got[i] == encode_rgb(imgs[i], p), i
+
+
+def test_sharded_mixed_auto_byte_identical():
+    """A mixed-AUTO batch (444 + 400 + sharp decisions in one call)
+    shards per resolved-mode group instead of delegating
+    (src/enc.cc:2132-2154 per-image semantics)."""
+    mesh = _mesh(2, 4)
+    h = w = 128
+    rng = np.random.RandomState(0)
+    noisy = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    gray = np.repeat(rng.randint(0, 256, (h, w, 1)).astype(np.uint8),
+                     3, axis=2)
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack([xx * 2 % 256, yy * 2 % 256,
+                     (xx + yy) % 256], -1).astype(np.uint8)
+    imgs = np.stack([noisy, gray, grad,
+                     rng.randint(0, 256, (h, w, 3)).astype(np.uint8)])
+    p = EncoderParam(quality=75, yuv_mode=C.YUV_AUTO)
+    from sjpeg_tpu.ops import riskiness as dev_risk
+    ss, cc, gg = jax.device_get(dev_risk.risk_stats(imgs))
+    modes = {dev_risk.finish_riskiness(ss[i], cc[i], gg[i], w, h)[0]
+             for i in range(4)}
+    assert len(modes) > 1, modes            # the batch must really mix
+    got = encode_batch_sharded(imgs, p, mesh=mesh)
+    from sjpeg_tpu.engine import encode_batch
+    want = encode_batch(imgs, p)
+    assert got == want
+
+
+@pytest.mark.parametrize("target_mode", ["size", "psnr"])
+def test_sharded_trellis_search_byte_identical(target_mode):
+    """Trellis dichotomies shard: per-pass stripe trellis with evolving
+    per-image rate tables (src/dichotomy.cc:83-104) == serial engine."""
+    mesh = _mesh(2, 4)
+    imgs = _imgs(2, 64, 48, seed0=31)
+    p = EncoderParam(yuv_mode=C.YUV_420, use_trellis=True)
+    if target_mode == "size":
+        p.set_target_size(1500, passes=4)
+    else:
+        p.set_target_psnr(34.0, passes=3)
+    got = encode_batch_sharded(imgs, p, mesh=mesh)
+    from sjpeg_tpu.engine import encode_batch
+    want = encode_batch(imgs, p)
+    assert got == want
