@@ -283,35 +283,30 @@ def config3(rgb, out):
              "reference_mpps": round(ref, 1) if ref else None}
 
     if engine._relay_backend():
-        # capture live per-image quantizers + LUTs once, then slope-time
-        # the actual device programs the m4 pipeline dispatches
+        # capture the live prep/final invocation, then slope-time the two
+        # device programs the m4 pipeline dispatches (prep caches samples
+        # + coeffs + histos; final = freqs -> device tables -> pack)
         cap = {}
-        orig = engine._encode_batch_opt_core
+        orig = engine._stage_m4_final
 
-        def spy(src, iq, ib, dc_luts, ac_luts, **kw):
-            cap.update(iq=iq, ib=ib, dcl=dc_luts, acl=ac_luts, kw=kw)
-            return orig(src, iq, ib, dc_luts, ac_luts, **kw)
+        def spy(*args, **kw):
+            cap["args"], cap["kw"] = args, kw
+            return orig(*args, **kw)
 
-        engine._encode_batch_opt_core = spy
+        engine._stage_m4_final = spy
         try:
             engine.encode_batch(dev, param)
         finally:
-            engine._encode_batch_opt_core = orig
-        t_h, _ = slope_time(lambda: engine._stage_batch_histos_fused(
+            engine._stage_m4_final = orig
+        t_h, _ = slope_time(lambda: engine._stage_search_prep(
             dev, yuv_mode=C.YUV_420, width=w, height=h,
-            stats_images=BATCH, src_kind="rgb"))
-        t_f, _ = slope_time(lambda: engine._stage_batch_freqs_fused(
-            dev, cap["iq"], cap["ib"], yuv_mode=C.YUV_420, width=w,
-            height=h, nb_blocks=(4, 1, 1), n_images=BATCH,
-            stats_images=BATCH, src_kind="rgb"))
-        t_p, _ = slope_time(lambda: orig(dev, cap["iq"], cap["ib"],
-                                         cap["dcl"], cap["acl"],
-                                         **cap["kw"]))
-        entry["device_mpps"] = _rate(px, t_h + t_f + t_p)
+            nb_blocks=(4, 1, 1), n_images=BATCH, src_kind="rgb",
+            with_histo=True)["coeffs"][0])
+        t_p, _ = slope_time(lambda: orig(*cap["args"], **cap["kw"])[0])
+        entry["device_mpps"] = _rate(px, t_h + t_p)
         entry["device_ms_breakdown"] = {
-            "histograms": round(t_h * 1e3, 2),
-            "freqs": round(t_f * 1e3, 2),
-            "final_pass": round(t_p * 1e3, 2)}
+            "prep_histograms": round(t_h * 1e3, 2),
+            "freqs_tables_pack": round(t_p * 1e3, 2)}
         entry["vs_baseline"] = (round(entry["device_mpps"] / ref, 2)
                                 if ref else None)
     elif ref:

@@ -1121,6 +1121,101 @@ def _slice_vlc_state(vlc_state, i, per_img: int):
     return ({k: sl(v) for k, v in rl.items()}, sl(dc_codes), sl(group))
 
 
+@functools.partial(jax.jit, static_argnames=("nb_blocks", "n_images",
+                                             "n_groups", "bucket",
+                                             "chroma_wrap"))
+def _stage_m4_final(prep, iq3, ib3, nb_blocks, n_images: int,
+                    n_groups: int, bucket: int, chroma_wrap: bool):
+    """Single-program optimized-encode second pass over the cached prep
+    state (the search loop's per-pass body, run once): per-image symbol
+    frequencies from the cached coefficients -> device-built optimal
+    Huffman tables -> fused per-image-LUT pack from the cached int8
+    samples.  Replaces the freqs-program + LUT-upload + front-end-
+    recomputing final pass (reference one-scan semantics,
+    src/enc.cc:1517-1580).  Returns (words, [B, 1 + 604] combo of total
+    bits + DHT descriptions — one fetch)."""
+    from .ops import huffman_device as hd
+    freqs = _search_component_freqs(prep["coeffs"], iq3, ib3, n_images)
+    dcl, acl, nbs, desc = hd.luts_and_desc_from_freqs(
+        jnp.reshape(freqs[0], (n_images, 2, -1)),
+        jnp.reshape(freqs[1], (n_images, 2, -1)), n_groups)
+    desc_flat = hd.desc_to_flat(nbs, desc)
+    dc_codes = _search_dc_codes(prep["dc_coefs"], iq3, ib3, nb_blocks,
+                                n_images)
+    words, totals = _fused_pack_from_samples(
+        prep["sinter"], dc_codes, prep["group"], iq3, ib3, dcl, acl,
+        n_images, bucket, chroma_wrap)
+    combo = jnp.concatenate([totals.astype(jnp.int32)[:, None],
+                             desc_flat], axis=1)
+    return words, combo
+
+
+def _encode_batch_opt_prep(src, param, flags, layout, base_qms, min_qmats,
+                           n_groups: int, b: int, w: int, h: int,
+                           yuv_mode: int, src_kind: str,
+                           bits_per_pixel_budget: float):
+    """Prep-based optimized batch encode (methods 1-6, per-image
+    statistics, relay backend): ONE front-end program caches int8
+    samples + coefficients + DC chains (+ histograms), the host tunes
+    matrices from the fetched histograms (native node fit), and ONE
+    device program does freqs -> tables -> pack.  Three fetches total
+    (histos, combo, streams) instead of the former
+    histos/freqs/LUT-upload/final-pass chain that recomputed the color
+    conversion and fDCT three times."""
+    from .ops import huffman_device as hd
+    nb_blocks = tuple(layout.nb_blocks)
+    prep = _stage_search_prep(
+        src, yuv_mode=yuv_mode, width=w, height=h, nb_blocks=nb_blocks,
+        n_images=b, src_kind=src_kind,
+        with_histo=flags["use_adaptive_quant"])
+    if flags["use_adaptive_quant"]:
+        from .adaptive import analyse_histo_nodes
+        hh = np.asarray(prep["histos"]).astype(np.int64).reshape(
+            2, b, 64, -1)
+        tuned_l = analyse_histo_nodes(
+            hh[0], base_qms[0]["quant"][None], min_qmats[0],
+            param.qdelta_max_luma)[:, 0]
+        tuned_c = (analyse_histo_nodes(
+            hh[1], base_qms[1]["quant"][None], min_qmats[1],
+            param.qdelta_max_chroma)[:, 0] if n_groups > 1 else
+            np.broadcast_to(base_qms[1]["quant"], (b, 64)))
+        per_qms = [[spec.finalize_quant_matrix(
+            tuned_l[i], min_qmats[0], param.quantization_bias),
+            spec.finalize_quant_matrix(
+                tuned_c[i], min_qmats[1], param.quantization_bias)]
+            for i in range(b)]
+    else:
+        per_qms = [base_qms] * b
+    iq3 = jnp.asarray(np.stack([[q["iquant"] for q in qms]
+                                for qms in per_qms]).astype(np.int32))
+    ib3 = jnp.asarray(np.stack([[q["bias"] for q in qms]
+                                for qms in per_qms]).astype(np.int32))
+
+    n_blocks_img = layout.mb_w * layout.mb_h * sum(nb_blocks)
+    bucket = int(min(n_blocks_img * pack.WORDS_PER_BLOCK,
+                     max(4096, w * h * bits_per_pixel_budget / 32)))
+    words, combo_dev = _stage_m4_final(
+        prep, iq3, ib3, nb_blocks, b, n_groups, bucket,
+        chroma_wrap=src_kind == "rgb")
+    combo = np.asarray(combo_dev)
+    totals_np = combo[:, 0]
+    flat_np = combo[:, 1:]
+    words_np = fetch_streams_batch(
+        words, np.where(totals_np <= bucket * 32, totals_np, 0))
+    out = []
+    for i in range(b):
+        total_bits = int(totals_np[i])
+        if total_bits > bucket * 32 or total_bits == 0x7FFFFFFF:
+            out.append(_host_fallback_one(src, src_kind, i, yuv_mode,
+                                          param))
+            continue
+        tabs_i = hd.tables_from_flat(flat_np, i, n_groups)
+        scan = _finalize_scan_bytes(words_np[i], total_bits)
+        out.append(_assemble_jpeg(layout, param, per_qms[i], tabs_i,
+                                  scan))
+    return out
+
+
 def _encode_batch_optimized(src, param: EncoderParam,
                             bits_per_pixel_budget: float,
                             share_statistics: bool = False,
@@ -1156,6 +1251,11 @@ def _encode_batch_optimized(src, param: EncoderParam,
     stats_images = 1 if share_statistics else b
 
     relay_fused = _relay_backend() and not flags["use_trellis"]
+    if (relay_fused and not share_statistics and flags["optimize_size"]
+            and src_kind in ("rgb", "planes")):
+        return _encode_batch_opt_prep(
+            src, param, flags, layout, base_qms, min_qmats, n_groups,
+            b, w, h, yuv_mode, src_kind, bits_per_pixel_budget)
     if relay_fused:
         coeffs = None
         histos = (_stage_batch_histos_fused(
