@@ -125,3 +125,32 @@ def test_negative_cases(tmp_path, capsys):
     with pytest.raises(SystemExit):
         run_cli()                          # missing input
     assert run_cli(tmp_path / "nope.ppm") == 1   # unreadable input
+
+
+def test_inspect_interactive_loop(tmp_path):
+    """The vjpeg-analog interactive loop: quality steps, mode changes,
+    toggles, views and info commands re-encode and report."""
+    import io as _io
+    import numpy as np
+    from PIL import Image
+    from sjpeg_tpu import inspect_tool
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (32, 40, 3)).astype(np.uint8)
+    src = tmp_path / "in.png"
+    Image.fromarray(rgb).save(src)
+    cmds = "\n".join(["+", "++", "-", "1", "3", "o", "a", "t", "t",
+                      "e", "r", "m", "i", "w", "h", "zz", "q"]) + "\n"
+    out = _io.StringIO()
+    report = inspect_tool.interactive(
+        str(src), str(tmp_path / "rep"), quality=70,
+        stdin=_io.StringIO(cmds), stdout=out)
+    text = out.getvalue()
+    assert "bytes" in text and "dB" in text
+    assert (tmp_path / "rep" / "error_map.png").exists()
+    assert (tmp_path / "rep" / "risk_map.png").exists()
+    assert (tmp_path / "rep" / "out.jpg").exists()
+    assert report["quality"] == 80.0          # 70 +1 +10 -1
+    assert report["bytes"] > 0
+    # the written encode decodes
+    Image.open(tmp_path / "rep" / "out.jpg").load()
