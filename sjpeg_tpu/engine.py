@@ -1252,7 +1252,8 @@ def _encode_batch_optimized(src, param: EncoderParam,
 
     relay_fused = _relay_backend() and not flags["use_trellis"]
     if (relay_fused and not share_statistics and flags["optimize_size"]
-            and src_kind in ("rgb", "planes")):
+            and src_kind in ("rgb", "planes")
+            and jax.default_backend() != "cpu"):
         return _encode_batch_opt_prep(
             src, param, flags, layout, base_qms, min_qmats, n_groups,
             b, w, h, yuv_mode, src_kind, bits_per_pixel_budget)
